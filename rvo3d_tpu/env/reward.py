@@ -1,0 +1,93 @@
+"""Reward functions: RVO shaping reward (pre-step) and movement reward
+(post-step). reward = rvo_reward + mov_reward (reference: mdin.py:28).
+
+All functions are vectorized over the agent axis [N] (and batch axes under
+vmap); the reference's per-agent Python loops (ir_gym.py:50-62, :136-154)
+disappear into array ops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rvo3d_tpu.config import EnvParams
+from rvo3d_tpu.env import geometry as geo
+from rvo3d_tpu.env.rvo import vo_reward_info
+
+
+def angle_bucket_bonus(angle: jnp.ndarray) -> jnp.ndarray:
+    """Bucketed alignment bonus between the desired velocity and the chosen
+    action (reference: ir_gym.rvo_reward_cal, ir_gym.py:90-100):
+      |angle| < pi/18 -> +3 ; < pi/6 -> +1 ; < pi/3 -> +0.5 ;
+      < pi/2 -> 0 ; else -4.  (angle >= 0, bounds strict)."""
+    return jnp.where(
+        angle < jnp.pi / 18, 3.0,
+        jnp.where(
+            angle < jnp.pi / 6, 1.0,
+            jnp.where(
+                angle < jnp.pi / 3, 0.5,
+                jnp.where(angle < jnp.pi / 2, 0.0, -4.0),
+            ),
+        ),
+    )
+
+
+def rvo_reward(states: jnp.ndarray, actions: jnp.ndarray,
+               p: EnvParams) -> jnp.ndarray:
+    """RVO shaping reward on PRE-step states (ir_gym.rvo_reward_cal,
+    ir_gym.py:64-133):
+      angle bucket bonus
+      + 0.2*|action|/|des_vel|          (reference divides unguarded; an
+                                         arrived drone with des_vel=0 yields
+                                         inf exactly like numpy would)
+      + (p_base + p_urgent*exp(-t/0.5) if any cone flagged and t < 2)
+    rounded to 3 decimals. states: [N, 12]; actions: [N, 3] -> [N]."""
+    info = vo_reward_info(states, actions, p)
+
+    des_vel = geo.rnd(states[:, 8:11], 3, p.parity_rounding)
+    vel_penalty = 0.2 * geo.norm3(actions) / geo.norm3(des_vel)
+
+    angle = geo.angle_between_eps(des_vel, actions)
+    angle_punish = angle_bucket_bonus(angle)
+
+    urgency = jnp.where(
+        info.min_exp_time < 2.0,
+        p.rvo_p_urgent * jnp.exp(-info.min_exp_time / 0.5),
+        0.0,
+    )
+    safety = jnp.where(info.vo_flag, p.rvo_p_base + urgency, 0.0)
+
+    total = angle_punish + vel_penalty + safety
+    return geo.rnd(total, 3, p.parity_rounding)
+
+
+def mov_reward(collision: jnp.ndarray, arrive_reward_flag: jnp.ndarray,
+               waypoint_num: jnp.ndarray, n_points_m1: jnp.ndarray,
+               dest_arrive_reward_flag: jnp.ndarray, deviation: jnp.ndarray,
+               exlen_pos: jnp.ndarray, exlen: jnp.ndarray,
+               p: EnvParams) -> jnp.ndarray:
+    """Movement/navigation reward on POST-step state (ir_gym.mov_reward,
+    ir_gym.py:256-311):
+      collision           -> -50 flat (short-circuits everything else)
+      waypoint arrival    -> +3 * 0.95^(n_points-1 - i)
+      destination arrival -> +20
+      route deviation     -> sigmoid penalty (ir_gym.py:476-490)
+      extra path length   -> -0.3*log(exlen+1+1e-6) when exlen > 0, floored
+                             at -6 (nan also maps to -6)
+    rounded to 3 decimals."""
+    way = jnp.where(
+        arrive_reward_flag,
+        p.mov_p_way * 0.95 ** (n_points_m1 - waypoint_num).astype(deviation.dtype),
+        0.0,
+    )
+    dest = jnp.where(dest_arrive_reward_flag, p.mov_p_dest, 0.0)
+    dev_pen = geo.deviation_penalty(deviation)
+
+    exlen_raw = p.mov_p_exlen * jnp.log(exlen + 1.0 + 1e-6)
+    exlen_raw = jnp.where(
+        (exlen_raw < -6.0) | jnp.isnan(exlen_raw), -6.0, exlen_raw
+    )
+    exlen_pen = jnp.where(exlen_pos, exlen_raw, 0.0)
+
+    total = geo.rnd(way + dest + dev_pen + exlen_pen, 3, p.parity_rounding)
+    return jnp.where(collision, p.mov_collision, total)

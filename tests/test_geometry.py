@@ -1,0 +1,134 @@
+"""Unit tests for the pure-jnp geometry kernels against hand-computed NumPy
+(the reference formulas re-derived independently per SURVEY §7 stage 1)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rvo3d_tpu.env import geometry as geo
+
+
+def test_wraptopi():
+    assert float(geo.wraptopi(jnp.array(4.0))) == pytest.approx(4.0 - 2 * math.pi)
+    assert float(geo.wraptopi(jnp.array(-4.0))) == pytest.approx(-4.0 + 2 * math.pi)
+    assert float(geo.wraptopi(jnp.array(1.0))) == pytest.approx(1.0)
+
+
+def test_cone_alpha_matches_asin():
+    dis, r_sum = 5.0, 0.4
+    expect = round(math.asin(r_sum / dis), 2)
+    got = float(geo.cone_alpha(jnp.array(dis), jnp.array(r_sum)))
+    assert got == pytest.approx(expect, abs=1e-6)
+
+
+def test_reciprocal_apex_priority_weighting():
+    pa = jnp.array([1.0, 2.0, 3.0])
+    va = jnp.array([0.5, 0.0, -0.5])
+    vb = jnp.array([-0.5, 1.0, 0.0])
+    paa = geo.reciprocal_apex(pa, jnp.array(5.0), jnp.array(5.0), va, vb)
+    # pr = 0.5 -> PAA = 0.5*(2*pa + va+vb)
+    expect = 0.5 * (2 * np.array(pa) + np.array(va) + np.array(vb))
+    np.testing.assert_allclose(np.asarray(paa), expect, rtol=1e-6)
+
+
+def test_vo_expected_time_branches():
+    r_sum = 0.4
+    # overlapping -> 0
+    t = geo.vo_expected_time(jnp.array([0.1, 0.0, 0.0]),
+                             jnp.array([1.0, 0.0, 0.0]), r_sum)
+    assert float(t) == 0.0
+    # closing: rel_p = p_b - p_a = (2,0,0); rel_v_origin is A's velocity
+    # relative to B, so +x means A approaches B -> t = 2 - 0.4 = 1.6
+    t = geo.vo_expected_time(jnp.array([2.0, 0.0, 0.0]),
+                             jnp.array([1.0, 0.0, 0.0]), r_sum)
+    assert float(t) == pytest.approx(1.6, abs=1e-6)
+    # receding -> both roots negative -> -1
+    t = geo.vo_expected_time(jnp.array([2.0, 0.0, 0.0]),
+                             jnp.array([-1.0, 0.0, 0.0]), r_sum)
+    assert float(t) == -1.0
+    # parallel, never meet -> inf
+    t = geo.vo_expected_time(jnp.array([2.0, 5.0, 0.0]),
+                             jnp.array([-1.0, 0.0, 0.0]), r_sum)
+    assert math.isinf(float(t))
+
+
+def test_point_line_deviation_unclamped():
+    start = jnp.array([0.0, 0.0, 0.0])
+    end = jnp.array([1.0, 0.0, 0.0])
+    # beyond the segment end: point-to-LINE gives perpendicular distance only
+    p = jnp.array([5.0, 2.0, 0.0])
+    assert float(geo.point_line_deviation(start, end, p)) == pytest.approx(2.0)
+    # degenerate segment -> 0
+    assert float(geo.point_line_deviation(start, start, p)) == 0.0
+
+
+def test_desired_velocity_round_and_threshold():
+    pos = jnp.array([0.0, 0.0, 0.0])
+    des = jnp.array([3.0, 4.0, 0.0])
+    v = geo.desired_velocity(pos, des, jnp.ones(3), 0.4)
+    np.testing.assert_allclose(np.asarray(v), [0.6, 0.8, 0.0], atol=1e-7)
+    # inside threshold -> zeros
+    v0 = geo.desired_velocity(pos, jnp.array([0.1, 0.0, 0.0]), jnp.ones(3), 0.4)
+    np.testing.assert_array_equal(np.asarray(v0), np.zeros(3))
+
+
+def test_kinematic_step_matches_reference_equations():
+    vel = jnp.array([[1.0, 0.0, 0.0]])
+    yaw = jnp.array([0.0])
+    pitch = jnp.array([0.0])
+    act = jnp.array([[0.5, 0.5, 0.0]])  # +0.5 speed, +45deg yaw
+    new_vel, new_yaw, new_pitch, speed = geo.kinematic_step(
+        vel, yaw, pitch, act, 1.0, 90.0
+    )
+    assert float(speed[0]) == pytest.approx(1.5)
+    assert float(new_yaw[0]) == pytest.approx(45.0)
+    np.testing.assert_allclose(
+        np.asarray(new_vel[0]),
+        [1.5 * math.cos(math.radians(45)), 1.5 * math.sin(math.radians(45)), 0.0],
+        atol=1e-6,
+    )
+    # speed floor at zero
+    act2 = jnp.array([[-5.0, 0.0, 0.0]])
+    _, _, _, speed2 = geo.kinematic_step(vel, yaw, pitch, act2, 1.0, 90.0)
+    assert float(speed2[0]) == 0.0
+
+
+def test_kinematic_yaw_wraps_and_pitch_clamps():
+    vel = jnp.array([[0.0, 0.0, 0.0]])
+    new_vel, yaw, pitch, _ = geo.kinematic_step(
+        vel, jnp.array([350.0]), jnp.array([85.0]),
+        jnp.array([[0.0, 0.5, 0.5]]), 1.0, 90.0,
+    )
+    assert float(yaw[0]) == pytest.approx(35.0)
+    assert float(pitch[0]) == pytest.approx(90.0)
+
+
+def test_angle_between_eps_zero_vector_rules():
+    z = jnp.zeros(3)
+    a = jnp.array([1.0, 0.0, 0.0])
+    # true zero vs nonzero -> sqrt(1e-8)=1e-4 magnitude is NOT below 1e-6,
+    # so the angle comes from cos ~ 0 -> pi/2 (the reference's actual quirk)
+    ang = float(geo.angle_between_eps(z, a))
+    assert ang == pytest.approx(math.pi / 2, abs=1e-3)
+
+
+def test_deviation_penalty_shape():
+    # far from route -> approaches -3; on route -> near 0
+    assert float(geo.deviation_penalty(jnp.array(5.0))) == pytest.approx(-3.0, abs=1e-6)
+    assert abs(float(geo.deviation_penalty(jnp.array(0.0)))) < 1e-6
+
+
+def test_out_of_map():
+    ms = jnp.array([10.0, 10.0, 5.0])
+    assert not bool(geo.out_of_map(jnp.array([5.0, 5.0, 2.0]), ms))
+    assert bool(geo.out_of_map(jnp.array([-0.1, 5.0, 2.0]), ms))
+    assert bool(geo.out_of_map(jnp.array([5.0, 5.0, 5.1]), ms))
+
+
+def test_polyline_length_padded():
+    wps = jnp.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0], [1, 1, 0]])
+    # n_points=3 -> length 2 regardless of padding
+    assert float(geo.polyline_length(wps, 3)) == pytest.approx(2.0)
