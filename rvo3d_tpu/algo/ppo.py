@@ -1,0 +1,184 @@
+"""PPO learner: clipped surrogate + KL early stop + per-agent update
+schedule, fully on-device.
+
+Mirrors multi_ppo.update (reference: train/policy/multi_ppo.py:341-404):
+  - agents updated sequentially in a shuffled order, capped at
+    max_update_num (multi_ppo.py:343-352)
+  - per agent: up to train_pi_iters policy steps with KL early stop
+    *checked before applying* (multi_ppo.py:355-368), then train_v_iters
+    value steps (multi_ppo.py:371-376)
+  - two Adam optimizers with separate learning rates; the shared encoder
+    belongs to BOTH (the torch module sharing quirk, policy_rnn_ac.py:46-54):
+    pi-Adam updates {encoder, actor, log_std}, vf-Adam {encoder, critic},
+    each with its own moments
+  - gradient clip by global norm 2.0 on the policy step (multi_ppo.py:367).
+    Deliberate deviation: the reference's clip-norm also sums stale critic
+    grads left from the previous value phase (torch zero_grad is
+    per-optimizer); we clip only the live policy gradients.
+
+The data-dependent iteration count lives in a lax.while_loop — no host
+round-trips inside the epoch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from rvo3d_tpu.config import TrainConfig
+from rvo3d_tpu.models import ActorCritic
+
+
+class PPOState(NamedTuple):
+    params: Any
+    pi_opt: Any
+    vf_opt: Any
+
+
+class AgentData(NamedTuple):
+    """Flattened per-agent batch: leaves [B, ...]."""
+
+    obs_self: jnp.ndarray
+    obs_nbr: jnp.ndarray
+    obs_mask: jnp.ndarray
+    act: jnp.ndarray
+    adv: jnp.ndarray
+    ret: jnp.ndarray
+    logp: jnp.ndarray
+
+
+class UpdateMetrics(NamedTuple):
+    pi_loss: jnp.ndarray   # [n_upd] first-iter policy loss per updated agent
+    v_loss: jnp.ndarray    # [n_upd] final value loss
+    kl: jnp.ndarray        # [n_upd] kl at stop (or last iter)
+    pi_iters: jnp.ndarray  # [n_upd] applied policy steps before early stop
+
+
+def _mask_tree(params, predicate):
+    flat = traverse_util.flatten_dict(params)
+    return traverse_util.unflatten_dict({k: predicate(k) for k in flat})
+
+
+def make_optimizers(cfg: TrainConfig, params):
+    """pi optimizer over {encoder, actor, log_std}; vf over
+    {encoder, critic}; torch-default Adam hyperparams."""
+    pi_mask = _mask_tree(params, lambda k: "critic" not in k)
+    vf_mask = _mask_tree(
+        params, lambda k: ("actor" not in k) and ("log_std" not in k)
+    )
+    pi_tx = optax.masked(
+        optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm),
+            optax.adam(cfg.pi_lr, b1=0.9, b2=0.999, eps=1e-8),
+        ),
+        pi_mask,
+    )
+    vf_tx = optax.masked(optax.adam(cfg.vf_lr, b1=0.9, b2=0.999, eps=1e-8),
+                         vf_mask)
+    return pi_tx, vf_tx
+
+
+def _select(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b
+    )
+
+
+def pi_loss_fn(ac: ActorCritic, params, batch: AgentData, clip_ratio: float):
+    logp = ac.apply(params, batch.obs_self, batch.obs_nbr, batch.obs_mask,
+                    batch.act, method=ActorCritic.logp)
+    ratio = jnp.exp(logp - batch.logp)
+    clip_adv = jnp.clip(ratio, 1 - clip_ratio, 1 + clip_ratio) * batch.adv
+    loss = -jnp.mean(jnp.minimum(ratio * batch.adv, clip_adv))
+    kl = jnp.mean(batch.logp - logp)
+    clipped = (ratio > 1 + clip_ratio) | (ratio < 1 - clip_ratio)
+    return loss, (kl, jnp.mean(clipped.astype(jnp.float32)))
+
+
+def v_loss_fn(ac: ActorCritic, params, batch: AgentData):
+    v = ac.apply(params, batch.obs_self, batch.obs_nbr, batch.obs_mask,
+                 method=ActorCritic.value)
+    return jnp.mean((v - batch.ret) ** 2)
+
+
+def update_one_agent(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
+                     state: PPOState, batch: AgentData):
+    """The per-agent inner loops (multi_ppo.py:355-376)."""
+    pi_grad = jax.value_and_grad(
+        functools.partial(pi_loss_fn, ac), has_aux=True)
+    v_grad = jax.value_and_grad(functools.partial(v_loss_fn, ac))
+
+    def pi_cond(c):
+        i, _, _, stopped, _, _, _ = c
+        return (i < cfg.train_pi_iters) & (~stopped)
+
+    def pi_body(c):
+        i, params, opt, _, first_loss, _, iters = c
+        (loss, (kl, _)), grads = pi_grad(params, batch, cfg.clip_ratio)
+        stop = kl > cfg.target_kl
+        updates, new_opt = pi_tx.update(grads, opt, params)
+        new_params = optax.apply_updates(params, updates)
+        params = _select(stop, params, new_params)
+        opt = _select(stop, opt, new_opt)
+        first_loss = jnp.where(i == 0, loss, first_loss)
+        iters = iters + jnp.where(stop, 0, 1)
+        return (i + 1, params, opt, stop, first_loss, kl, iters)
+
+    init = (jnp.int32(0), state.params, state.pi_opt, jnp.bool_(False),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0))
+    _, params, pi_opt, _, first_loss, kl, iters = jax.lax.while_loop(
+        pi_cond, pi_body, init
+    )
+
+    def v_body(_, c):
+        params, opt, _ = c
+        loss, grads = v_grad(params, batch)
+        updates, new_opt = vf_tx.update(grads, opt, params)
+        return (optax.apply_updates(params, updates), new_opt, loss)
+
+    params, vf_opt, v_loss = jax.lax.fori_loop(
+        0, cfg.train_v_iters, v_body,
+        (params, state.vf_opt, jnp.float32(0.0)),
+    )
+    return PPOState(params, pi_opt, vf_opt), (first_loss, v_loss, kl, iters)
+
+
+def ppo_update(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
+               state: PPOState, data, key) -> Tuple[PPOState, UpdateMetrics]:
+    """data: AgentData with leaves [T, E, N, ...]. Shuffled agent order,
+    first max_update_num agents updated sequentially (shared Adam moments
+    carry across agents, like the single torch optimizer instances)."""
+    n_agents = data.act.shape[2]
+    n_upd = min(cfg.max_update_num, n_agents)
+    perm = jax.random.permutation(key, n_agents)
+
+    def flatten_agent(x, r):
+        sl = jnp.take(x, r, axis=2)                # [T, E, ...]
+        return sl.reshape((-1,) + sl.shape[2:])    # [T*E, ...]
+
+    def body(k, carry):
+        state, metrics = carry
+        r = perm[k]
+        batch = AgentData(*[flatten_agent(x, r) for x in data])
+        state, (pl, vl, kl, it) = update_one_agent(
+            ac, cfg, pi_tx, vf_tx, state, batch)
+        metrics = UpdateMetrics(
+            pi_loss=metrics.pi_loss.at[k].set(pl),
+            v_loss=metrics.v_loss.at[k].set(vl),
+            kl=metrics.kl.at[k].set(kl),
+            pi_iters=metrics.pi_iters.at[k].set(it),
+        )
+        return state, metrics
+
+    metrics0 = UpdateMetrics(
+        pi_loss=jnp.zeros((n_upd,), jnp.float32),
+        v_loss=jnp.zeros((n_upd,), jnp.float32),
+        kl=jnp.zeros((n_upd,), jnp.float32),
+        pi_iters=jnp.zeros((n_upd,), jnp.int32),
+    )
+    return jax.lax.fori_loop(0, n_upd, body, (state, metrics0))

@@ -1,0 +1,142 @@
+"""Trainer: one jitted epoch = rollout -> GAE -> PPO update, plus the host
+loop (checkpointing, metrics, eval scheduling).
+
+Replaces multi_ppo.training_loop's Python hot loop (reference:
+train/policy/multi_ppo.py:166-339) with a single on-device program per
+epoch; the only host work is logging and checkpoint IO.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvo3d_tpu.config import Config
+from rvo3d_tpu.algo.gae import gae_advantages
+from rvo3d_tpu.algo.ppo import (AgentData, PPOState, UpdateMetrics,
+                                make_optimizers, ppo_update)
+from rvo3d_tpu.algo.rollout import (EpisodeStats, RolloutCarry,
+                                    init_rollout_carry, rollout_epoch)
+from rvo3d_tpu.env.state import WorldSpec
+from rvo3d_tpu.models import ActorCritic
+
+
+class EpochOutput(NamedTuple):
+    ppo_state: PPOState
+    carry: RolloutCarry
+    stats: EpisodeStats
+    update_metrics: UpdateMetrics
+    mean_reward: jnp.ndarray
+
+
+def make_train_epoch(ac: ActorCritic, world: WorldSpec, cfg: Config,
+                     pi_tx, vf_tx):
+    env_p = cfg.env
+    tr = cfg.train
+
+    def train_epoch(ppo_state: PPOState, carry: RolloutCarry,
+                    key: jax.Array) -> EpochOutput:
+        carry, batch = rollout_epoch(
+            ac, world, env_p, tr, ppo_state.params, carry
+        )
+        cut_full = batch.cut[:, :, None]                    # [T, E, 1]
+        adv, ret = gae_advantages(batch.rew, batch.val, cut_full,
+                                  tr.gamma, tr.lam)
+        data = AgentData(
+            obs_self=batch.obs_self, obs_nbr=batch.obs_nbr,
+            obs_mask=batch.obs_mask, act=batch.act,
+            adv=adv, ret=ret, logp=batch.logp,
+        )
+        ppo_state, upd = ppo_update(ac, tr, pi_tx, vf_tx, ppo_state, data, key)
+
+        stats = carry.stats
+        carry = carry._replace(stats=EpisodeStats.zero(stats.count.shape[0]))
+        return EpochOutput(
+            ppo_state=ppo_state, carry=carry, stats=stats,
+            update_metrics=upd, mean_reward=jnp.mean(batch.rew),
+        )
+
+    return train_epoch
+
+
+class Trainer:
+    """End-to-end training driver (reference: train/train_process.py)."""
+
+    def __init__(self, cfg: Config, world: WorldSpec,
+                 mesh: Optional[Any] = None):
+        self.cfg = cfg
+        self.world = world
+        self.ac = ActorCritic(cfg.model)
+        self.mesh = mesh
+
+        key = jax.random.PRNGKey(cfg.train.seed)
+        self.key, init_key = jax.random.split(key)
+        n = world.num_drones
+        nm = cfg.env.neighbor_num
+        dummy_self = jnp.zeros((1, cfg.model.state_dim))
+        dummy_nbr = jnp.zeros((1, nm, cfg.model.rnn_input_dim))
+        dummy_mask = jnp.zeros((1, nm), bool)
+        params = self.ac.init(init_key, dummy_self, dummy_nbr, dummy_mask)
+
+        self.pi_tx, self.vf_tx = make_optimizers(cfg.train, params)
+        self.ppo_state = PPOState(
+            params=params,
+            pi_opt=self.pi_tx.init(params),
+            vf_opt=self.vf_tx.init(params),
+        )
+
+        self.key, carry_key = jax.random.split(self.key)
+        self.carry = init_rollout_carry(
+            world, cfg.env, cfg.train.num_envs, carry_key
+        )
+        self._train_epoch = jax.jit(
+            make_train_epoch(self.ac, world, cfg, self.pi_tx, self.vf_tx)
+        )
+
+    def run_epoch(self) -> Dict[str, Any]:
+        self.key, k = jax.random.split(self.key)
+        t0 = time.time()
+        out = self._train_epoch(self.ppo_state, self.carry, k)
+        out.mean_reward.block_until_ready()
+        dt = time.time() - t0
+        self.ppo_state = out.ppo_state
+        self.carry = out.carry
+
+        st = out.stats
+        count = np.asarray(st.count)
+        mean_ret = np.where(count > 0, np.asarray(st.ret_sum) / np.maximum(count, 1), 0.0)
+        metrics = {
+            "epoch_time_s": dt,
+            "env_steps": self.cfg.train.steps_per_epoch * self.cfg.train.num_envs,
+            "steps_per_sec": self.cfg.train.steps_per_epoch
+            * self.cfg.train.num_envs / dt,
+            "mean_step_reward": float(out.mean_reward),
+            "episodes": count.tolist(),
+            "ep_ret_mean": mean_ret.tolist(),
+            "ep_ret_min": np.where(count > 0, np.asarray(st.ret_min), 0.0).tolist(),
+            "ep_ret_max": np.where(count > 0, np.asarray(st.ret_max), 0.0).tolist(),
+            "success_episodes": np.asarray(st.finish_count).tolist(),
+            "collision_episodes": np.asarray(st.collision_count).tolist(),
+            "pi_loss": np.asarray(out.update_metrics.pi_loss).tolist(),
+            "v_loss": np.asarray(out.update_metrics.v_loss).tolist(),
+            "kl": np.asarray(out.update_metrics.kl).tolist(),
+            "pi_iters": np.asarray(out.update_metrics.pi_iters).tolist(),
+        }
+        return metrics
+
+    def train(self, epochs: Optional[int] = None, log_fn=print,
+              checkpoint_fn=None) -> None:
+        epochs = epochs if epochs is not None else self.cfg.train.train_epoch
+        for epoch in range(epochs + 1):
+            metrics = self.run_epoch()
+            metrics["epoch"] = epoch
+            log_fn(metrics)
+            if checkpoint_fn and (
+                epoch % self.cfg.train.save_freq == 0 or epoch == epochs
+            ):
+                checkpoint_fn(epoch, self.ppo_state)

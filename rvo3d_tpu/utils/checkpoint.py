@@ -1,0 +1,72 @@
+"""Orbax checkpointing of the full training PyTree.
+
+Replaces the reference's dual torch.save formats (whole module + state
+dict, multi_ppo.py:406-420) with a single Orbax checkpoint holding params,
+BOTH optimizer states, the epoch counter, and the config — and, unlike the
+reference (which saves optimizers but never restores them,
+multi_ppo.py:118-121), resume restores everything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+
+from rvo3d_tpu.config import Config, from_dict, to_dict
+
+
+def _mgr(directory: str):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=5, create=True),
+    )
+
+
+def save_checkpoint(directory: str, epoch: int, ppo_state, cfg: Config) -> None:
+    import orbax.checkpoint as ocp
+
+    mgr = _mgr(directory)
+    payload = {
+        "params": ppo_state.params,
+        "pi_opt": ppo_state.pi_opt,
+        "vf_opt": ppo_state.vf_opt,
+    }
+    mgr.save(epoch, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(to_dict(cfg), f, indent=2)
+
+
+def restore_checkpoint(directory: str, ppo_state,
+                       epoch: Optional[int] = None) -> Tuple[Any, int]:
+    """Restore into the structure of an existing (template) PPOState.
+    Returns (restored_state, epoch)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _mgr(directory)
+    if epoch is None:
+        epoch = mgr.latest_step()
+    template = {
+        "params": ppo_state.params,
+        "pi_opt": ppo_state.pi_opt,
+        "vf_opt": ppo_state.vf_opt,
+    }
+    restored = mgr.restore(
+        epoch, args=ocp.args.StandardRestore(template)
+    )
+    new_state = ppo_state._replace(
+        params=restored["params"],
+        pi_opt=restored["pi_opt"],
+        vf_opt=restored["vf_opt"],
+    )
+    return new_state, int(epoch)
+
+
+def load_config(directory: str) -> Config:
+    with open(os.path.join(directory, "config.json")) as f:
+        return from_dict(json.load(f))

@@ -1,0 +1,114 @@
+"""PPO algorithm tests: GAE vs the reference's lfilter formulation, and an
+end-to-end smoke of the jitted train epoch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import scipy.signal
+
+from rvo3d_tpu.algo.gae import gae_advantages
+from rvo3d_tpu.config import Config, EnvParams, ModelConfig, TrainConfig
+from rvo3d_tpu.algo.trainer import Trainer
+from rvo3d_tpu.worlds import load_world
+
+
+def discount_cumsum(x, discount):
+    # the reference's rllab trick (multi_ppo.py:21-36)
+    return scipy.signal.lfilter([1], [1, float(-discount)], x[::-1],
+                                axis=0)[::-1]
+
+
+def reference_finish_path(rews, vals, boundaries, gamma, lam):
+    """Re-create multi_PPObuf.finish_path(0) over segments split at
+    boundary steps (multi_ppo.py:68-77)."""
+    T = len(rews)
+    adv = np.zeros(T)
+    ret = np.zeros(T)
+    start = 0
+    for t in range(T):
+        if boundaries[t]:
+            r = np.append(rews[start:t + 1], 0.0)
+            v = np.append(vals[start:t + 1], 0.0)
+            deltas = r[:-1] + gamma * v[1:] - v[:-1]
+            adv[start:t + 1] = discount_cumsum(deltas, gamma * lam)
+            ret[start:t + 1] = discount_cumsum(r, gamma)[:-1]
+            start = t + 1
+    return adv, ret
+
+
+def test_gae_matches_reference_lfilter():
+    rng = np.random.default_rng(0)
+    T = 60
+    rews = rng.standard_normal(T).astype(np.float32)
+    vals = rng.standard_normal(T).astype(np.float32)
+    boundaries = np.zeros(T, bool)
+    boundaries[[19, 37, T - 1]] = True  # epoch always ends with a cut
+    gamma, lam = 0.99, 0.97
+
+    ref_adv, ref_ret = reference_finish_path(rews, vals, boundaries, gamma, lam)
+    adv, ret = gae_advantages(
+        jnp.asarray(rews), jnp.asarray(vals), jnp.asarray(boundaries),
+        gamma, lam,
+    )
+    np.testing.assert_allclose(np.asarray(adv), ref_adv, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ret), ref_ret, atol=1e-4)
+
+
+def test_gae_no_middle_cut_bootstraps_across():
+    """Collision resets don't cut: value bootstraps across the reset."""
+    rews = jnp.array([1.0, 1.0, 1.0])
+    vals = jnp.array([0.5, 0.5, 0.5])
+    cut = jnp.array([False, False, True])
+    adv, ret = gae_advantages(rews, vals, cut, 1.0, 1.0)
+    # ret[0] = 3 (full undiscounted sum across all steps)
+    assert float(ret[0]) == pytest.approx(3.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return Config(
+        env=EnvParams(num_drones=3),
+        model=ModelConfig(rnn_hidden_dim=32, hidden_sizes_ac=(32, 32),
+                          hidden_sizes_v=(32, 32)),
+        train=TrainConfig(
+            steps_per_epoch=16, train_pi_iters=3, train_v_iters=3,
+            max_ep_len=50, num_envs=2, pi_lr=1e-4, vf_lr=1e-3,
+        ),
+    )
+
+
+def test_train_epoch_smoke(tiny_cfg, reference_worlds_available):
+    if not reference_worlds_available:
+        pytest.skip("reference world fixtures not present")
+    wd = load_world("world_3")
+    trainer = Trainer(tiny_cfg, wd.spec())
+    m1 = trainer.run_epoch()
+    m2 = trainer.run_epoch()
+    assert np.isfinite(m1["mean_step_reward"])
+    assert np.isfinite(m2["mean_step_reward"])
+    assert all(np.isfinite(m2["pi_loss"]))
+    assert all(np.isfinite(m2["v_loss"]))
+    assert all(i >= 0 for i in m2["pi_iters"])
+    # parameters actually moved
+    p1 = trainer.ppo_state.params["params"]["log_std"]
+    assert p1.shape == (3,)
+
+
+def test_policy_params_change_after_update(tiny_cfg, reference_worlds_available):
+    if not reference_worlds_available:
+        pytest.skip("reference world fixtures not present")
+    wd = load_world("world_3")
+    trainer = Trainer(tiny_cfg, wd.spec())
+    before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), trainer.ppo_state.params)
+    trainer.run_epoch()
+    after = trainer.ppo_state.params
+    leaves_before = jax.tree_util.tree_leaves(before)
+    leaves_after = jax.tree_util.tree_leaves(after)
+    changed = any(
+        not np.allclose(a, b) for a, b in zip(leaves_before, leaves_after)
+    )
+    assert changed, "update did not modify any parameters"
