@@ -1,0 +1,328 @@
+"""Command-line entry points: train / eval / worldgen / bench / render / parity.
+
+Replaces the reference's script-per-task layout (train_process.py,
+policy_test.py, gym_env_test.py, path_planning_main.py, create_gif.py) with
+one `python -m rvo3d_tpu.cli <cmd>` tool. Every run directory gets the full
+config as JSON (the reference pickles its argparse Namespace,
+train_process.py:106-115) plus JSONL metrics and Orbax checkpoints.
+
+Run-dir versioning mirrors the reference's r{N}_{i} counter scheme
+(train_process.py:81-87).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _fresh_run_dir(root: str, tag: str) -> str:
+    os.makedirs(root, exist_ok=True)
+    i = 0
+    while os.path.exists(os.path.join(root, f"{tag}_{i}")):
+        i += 1
+    path = os.path.join(root, f"{tag}_{i}")
+    os.makedirs(path)
+    return path
+
+
+def _build_cfg(args) -> "Config":
+    from rvo3d_tpu.config import (Config, EnvParams, MeshConfig, ModelConfig,
+                                  TrainConfig)
+    from rvo3d_tpu.worlds import load_world
+
+    wd = load_world(args.world)
+    env = EnvParams(num_drones=wd.drone_num,
+                    neighbor_num=args.neighbors_num)
+    model = ModelConfig(rnn_hidden_dim=args.rnn_hidden_dim,
+                        rnn_mode=args.rnn_mode)
+    train = TrainConfig(
+        pi_lr=args.pi_lr, vf_lr=args.vf_lr, train_epoch=args.train_epoch,
+        steps_per_epoch=args.steps_per_epoch, max_ep_len=args.max_ep_len,
+        gamma=args.gamma, lam=args.lam, clip_ratio=args.clip_ratio,
+        train_pi_iters=args.train_pi_iters, train_v_iters=args.train_v_iters,
+        target_kl=args.target_kl, max_update_num=args.max_update_num,
+        seed=args.seed, save_freq=args.save_freq, num_envs=args.num_envs,
+    )
+    return Config(env=env, model=model, train=train,
+                  mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
+                  world=args.world), wd
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from rvo3d_tpu.algo.trainer import Trainer
+    from rvo3d_tpu.config import to_dict
+    from rvo3d_tpu.parallel import make_mesh, shard_carry, shard_params_tp
+    from rvo3d_tpu.parallel.sharding import replicate
+    from rvo3d_tpu.parallel.mesh import maybe_distributed_init
+    from rvo3d_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+    from rvo3d_tpu.utils.metrics import (JSONLLogger, plot_reward_curves,
+                                         write_reward_csv)
+
+    maybe_distributed_init()
+    cfg, wd = _build_cfg(args)
+    run_dir = args.run_dir or _fresh_run_dir(
+        "runs", f"r{wd.drone_num}")
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump(to_dict(cfg), f, indent=2)
+    print(f"run dir: {run_dir}")
+
+    trainer = Trainer(cfg, wd.spec())
+
+    if args.resume:
+        trainer.ppo_state, start = restore_checkpoint(
+            args.resume, trainer.ppo_state)
+        print(f"resumed from {args.resume} @ epoch {start}")
+
+    n_dev = len(jax.devices())
+    if cfg.mesh.data * cfg.mesh.model > 1 or (args.auto_mesh and n_dev > 1):
+        data = cfg.mesh.data if cfg.mesh.data > 1 else n_dev // cfg.mesh.model
+        mesh = make_mesh(data=data, model=cfg.mesh.model)
+        trainer.ppo_state = trainer.ppo_state._replace(
+            params=shard_params_tp(trainer.ppo_state.params, mesh),
+            pi_opt=replicate(trainer.ppo_state.pi_opt, mesh),
+            vf_opt=replicate(trainer.ppo_state.vf_opt, mesh),
+        )
+        trainer.carry = shard_carry(trainer.carry, mesh, cfg.train.num_envs)
+        print(f"mesh: {dict(mesh.shape)}")
+
+    logger = JSONLLogger(os.path.join(run_dir, "train.jsonl"),
+                         echo=not args.quiet)
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+
+    def save(epoch, state):
+        save_checkpoint(ckpt_dir, epoch, state, cfg)
+
+    trainer.train(epochs=args.train_epoch, log_fn=logger.log,
+                  checkpoint_fn=save)
+    write_reward_csv(os.path.join(run_dir, "reward_curves.csv"),
+                     logger.read())
+    plot_reward_curves(os.path.join(run_dir, "train.jsonl"),
+                       os.path.join(run_dir, "reward_curves.png"))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax
+
+    from rvo3d_tpu.algo.evaluator import evaluate
+    from rvo3d_tpu.config import ModelConfig, EnvParams
+    from rvo3d_tpu.models import ActorCritic
+    from rvo3d_tpu.worlds import load_world
+
+    wd = load_world(args.world)
+    env_p = EnvParams(num_drones=wd.drone_num)
+
+    if args.torch_checkpoint:
+        from rvo3d_tpu.utils.torch_import import load_reference_policy
+
+        params = load_reference_policy(args.torch_checkpoint,
+                                       rnn_mode=args.rnn_mode)
+        cfg_m = ModelConfig(rnn_mode=args.rnn_mode)
+        ac = ActorCritic(cfg_m)
+    else:
+        from rvo3d_tpu.algo.trainer import Trainer
+        from rvo3d_tpu.utils.checkpoint import load_config, restore_checkpoint
+
+        cfg = load_config(os.path.dirname(args.checkpoint.rstrip("/"))
+                          if args.checkpoint.endswith("ckpt")
+                          else args.checkpoint)
+        trainer = Trainer(cfg, wd.spec())
+        ckpt = args.checkpoint if args.checkpoint.endswith("ckpt") else \
+            os.path.join(args.checkpoint, "ckpt")
+        state, epoch = restore_checkpoint(ckpt, trainer.ppo_state)
+        params = state.params
+        ac = trainer.ac
+        print(f"evaluating epoch {epoch}")
+
+    m = evaluate(ac, params, wd.spec(), env_p, jax.random.PRNGKey(args.seed),
+                 num_episodes=args.episodes, num_lanes=args.lanes,
+                 max_ep_len=args.max_ep_len, acceler_vel=args.acceler_vel,
+                 std_factor=args.std_factor)
+    line = (f"world={args.world} success_rate={m['success_rate']:.2%} "
+            f"EpLen={m['mean_ep_len']}±{m['std_ep_len']} "
+            f"speed={m['mean_speed']}±{m['std_speed']} "
+            f"ret0={m['mean_ret0']:.2f} ({m['episodes']} episodes)")
+    print(line)
+    if args.results_file:
+        with open(args.results_file, "a") as f:
+            f.write(line + "\n")
+    return 0
+
+
+def cmd_worldgen(args) -> int:
+    from rvo3d_tpu.worlds.gen import generate_world
+
+    wd = generate_world(args.name, num_drones=args.drones,
+                        map_size=tuple(args.map_size), seed=args.seed,
+                        k_sigma=args.k_sigma, n_low=args.n_low)
+    out = os.path.join(args.out, args.name)
+    wd.save(out)
+    print(f"world '{args.name}' -> {out}: {wd.drone_num} drones, "
+          f"{len(wd.building_list)} buildings, "
+          f"routes {[len(w) for w in wd.waypoints_list]} waypoints")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py"), run_name="__main__")
+    return 0
+
+
+def cmd_render(args) -> int:
+    from rvo3d_tpu.config import EnvParams
+    from rvo3d_tpu.env import DroneEnv
+    from rvo3d_tpu.render import ScenePlotter, frames_to_gif, record_trajectory
+    from rvo3d_tpu.utils import waypoint_controller
+    from rvo3d_tpu.worlds import load_world
+
+    wd = load_world(args.world)
+    env = DroneEnv(wd.spec(), EnvParams(num_drones=wd.drone_num))
+
+    if args.torch_checkpoint or args.checkpoint:
+        import jax
+        import jax.numpy as jnp
+
+        from rvo3d_tpu.config import ModelConfig
+        from rvo3d_tpu.models import ActorCritic
+
+        if args.torch_checkpoint:
+            from rvo3d_tpu.utils.torch_import import load_reference_policy
+
+            params = load_reference_policy(args.torch_checkpoint)
+            ac = ActorCritic(ModelConfig())
+        else:
+            from rvo3d_tpu.algo.trainer import Trainer
+            from rvo3d_tpu.utils.checkpoint import load_config, restore_checkpoint
+
+            cfg = load_config(args.checkpoint)
+            trainer = Trainer(cfg, wd.spec())
+            state, _ = restore_checkpoint(
+                os.path.join(args.checkpoint, "ckpt"), trainer.ppo_state)
+            params, ac = state.params, trainer.ac
+
+        key_holder = [jax.random.PRNGKey(0)]
+
+        def controller(state, world):
+            from rvo3d_tpu.env.env import observe
+
+            out, _ = observe(world, state, env.params)
+            key_holder[0], k = jax.random.split(key_holder[0])
+            ps = ac.apply(params, k, out.obs_self, out.obs_nbr, out.obs_mask,
+                          1e-3, method=ActorCritic.step)
+            a = jnp.round(ps.action, 2)
+            return args.acceler_vel * a + state.vel
+    else:
+        controller = waypoint_controller
+
+    traj = record_trajectory(env, controller, steps=args.steps)
+    plotter = ScenePlotter(wd.map_size, wd.building_list, wd.waypoints_list)
+    frames = plotter.render_trajectory(traj, args.out, every=args.every)
+    gif = frames_to_gif(frames, os.path.join(args.out, "episode.gif"))
+    plotter.close()
+    print(f"{len(frames)} frames -> {args.out}" + (f", gif: {gif}" if gif else ""))
+    return 0
+
+
+def cmd_parity(args) -> int:
+    from rvo3d_tpu.parity import run_parity
+
+    return run_parity(worlds=args.worlds, steps=args.steps, x64=args.x64,
+                      seed=args.seed)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rvo3d_tpu",
+                                description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a policy")
+    t.add_argument("--world", default="world_3")
+    t.add_argument("--run_dir", default=None)
+    t.add_argument("--resume", default=None, help="checkpoint dir to resume")
+    t.add_argument("--num_envs", type=int, default=16)
+    t.add_argument("--train_epoch", type=int, default=600)
+    t.add_argument("--steps_per_epoch", type=int, default=300)
+    t.add_argument("--max_ep_len", type=int, default=500)
+    t.add_argument("--pi_lr", type=float, default=4e-6)
+    t.add_argument("--vf_lr", type=float, default=5e-5)
+    t.add_argument("--gamma", type=float, default=0.99)
+    t.add_argument("--lam", type=float, default=0.97)
+    t.add_argument("--clip_ratio", type=float, default=0.2)
+    t.add_argument("--train_pi_iters", type=int, default=50)
+    t.add_argument("--train_v_iters", type=int, default=50)
+    t.add_argument("--target_kl", type=float, default=0.05)
+    t.add_argument("--max_update_num", type=int, default=10)
+    t.add_argument("--seed", type=int, default=7)
+    t.add_argument("--save_freq", type=int, default=50)
+    t.add_argument("--rnn_hidden_dim", type=int, default=256)
+    t.add_argument("--rnn_mode", default="biGRU",
+                   choices=["GRU", "biGRU", "LSTM"])
+    t.add_argument("--neighbors_num", type=int, default=10)
+    t.add_argument("--mesh_data", type=int, default=1)
+    t.add_argument("--mesh_model", type=int, default=1)
+    t.add_argument("--auto_mesh", action="store_true")
+    t.add_argument("--quiet", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="evaluate a policy")
+    e.add_argument("--world", default="world_3")
+    e.add_argument("--checkpoint", default=None, help="run dir with ckpt/")
+    e.add_argument("--torch_checkpoint", default=None,
+                   help="reference .pt checkpoint")
+    e.add_argument("--rnn_mode", default="biGRU")
+    e.add_argument("--episodes", type=int, default=100)
+    e.add_argument("--lanes", type=int, default=16)
+    e.add_argument("--max_ep_len", type=int, default=150)
+    e.add_argument("--acceler_vel", type=float, default=1.0)
+    e.add_argument("--std_factor", type=float, default=1e-3)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--results_file", default=None)
+    e.set_defaults(fn=cmd_eval)
+
+    w = sub.add_parser("worldgen", help="generate a world")
+    w.add_argument("--name", required=True)
+    w.add_argument("--drones", type=int, default=4)
+    w.add_argument("--map_size", type=int, nargs=3, default=[12, 12, 6])
+    w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--k_sigma", type=float, default=2.0)
+    w.add_argument("--n_low", type=int, default=1)
+    w.add_argument("--out", default="worlds_data")
+    w.set_defaults(fn=cmd_worldgen)
+
+    b = sub.add_parser("bench", help="run the benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    r = sub.add_parser("render", help="render an episode to frames + gif")
+    r.add_argument("--world", default="world_3")
+    r.add_argument("--checkpoint", default=None)
+    r.add_argument("--torch_checkpoint", default=None)
+    r.add_argument("--acceler_vel", type=float, default=1.0)
+    r.add_argument("--steps", type=int, default=100)
+    r.add_argument("--every", type=int, default=2)
+    r.add_argument("--out", default="render_out")
+    r.set_defaults(fn=cmd_render)
+
+    pa = sub.add_parser("parity", help="fixed-seed parity check vs the oracle")
+    pa.add_argument("--worlds", nargs="+",
+                    default=["world_2", "world_3", "world_8"])
+    pa.add_argument("--steps", type=int, default=200)
+    pa.add_argument("--seed", type=int, default=7)
+    pa.add_argument("--x64", action="store_true",
+                    help="enable float64 for bit-exact comparison")
+    pa.set_defaults(fn=cmd_parity)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
