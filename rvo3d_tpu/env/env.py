@@ -70,7 +70,9 @@ def reset_where(world: WorldSpec, state: DroneState,
                 mask: jnp.ndarray) -> DroneState:
     """Reset individual drones where mask[i] (reference: drone.reset via
     mdin.drone_reset_one, drone.py:270-291). Masked lanes take the initial
-    per-drone state; others are untouched."""
+    per-drone state; others are untouched. Sphere obstacles reset only when
+    EVERY drone resets (the full env reset); per-drone collision resets
+    leave them flying."""
     fresh = init_drone_state(world, state.pos.dtype)
 
     def pick(a, b):
@@ -79,7 +81,24 @@ def reset_where(world: WorldSpec, state: DroneState,
             m = m[..., None]
         return jnp.where(m, a, b)
 
-    return jax.tree_util.tree_map(pick, fresh, state)
+    full = jnp.all(mask)
+    new = DroneState(
+        pos=pick(fresh.pos, state.pos),
+        vel=pick(fresh.vel, state.vel),
+        yaw=pick(fresh.yaw, state.yaw),
+        pitch=pick(fresh.pitch, state.pitch),
+        wp_idx=pick(fresh.wp_idx, state.wp_idx),
+        arrive_flag=pick(fresh.arrive_flag, state.arrive_flag),
+        dest_arrive_flag=pick(fresh.dest_arrive_flag, state.dest_arrive_flag),
+        collision_flag=pick(fresh.collision_flag, state.collision_flag),
+        real_route_len=pick(fresh.real_route_len, state.real_route_len),
+        extra_len=pick(fresh.extra_len, state.extra_len),
+        max_deviation=pick(fresh.max_deviation, state.max_deviation),
+        prev_pos=pick(fresh.prev_pos, state.prev_pos),
+        sphere_pos=jnp.where(full, fresh.sphere_pos, state.sphere_pos),
+        sphere_vel=jnp.where(full, fresh.sphere_vel, state.sphere_vel),
+    )
+    return new
 
 
 def observe(world: WorldSpec, state: DroneState,
@@ -90,7 +109,8 @@ def observe(world: WorldSpec, state: DroneState,
     flag outputs are zeroed."""
     states12, state = drone_states_12(world, state, p)
     zero_act = jnp.zeros_like(state.vel)
-    vo = vo_observe(states12, zero_act, world.buildings, world.building_mask, p)
+    vo = vo_observe(states12, zero_act, world.buildings, world.building_mask,
+                    p, others=_vo_others(world, state, states12))
     n = states12.shape[0]
     out = StepOutput(
         obs_self=geo.rnd(states12, 2, p.parity_rounding),
@@ -104,6 +124,18 @@ def observe(world: WorldSpec, state: DroneState,
     return out, state
 
 
+def _vo_others(world: WorldSpec, state: DroneState,
+               states12: jnp.ndarray) -> jnp.ndarray | None:
+    """The 'others' block for the VO engine: the drones themselves plus any
+    dynamic sphere obstacles (env/obstacles.py) as extra participants."""
+    if world.sphere_count == 0:
+        return None
+    from rvo3d_tpu.env.obstacles import sphere_states8
+
+    sph = sphere_states8(state.sphere_pos, state.sphere_vel, world.spheres)
+    return jnp.concatenate([states12[:, 0:8], sph.astype(states12.dtype)], 0)
+
+
 def step(world: WorldSpec, state: DroneState, abs_action: jnp.ndarray,
          p: EnvParams, noise_key: jax.Array | None = None
          ) -> Tuple[DroneState, StepOutput]:
@@ -113,9 +145,20 @@ def step(world: WorldSpec, state: DroneState, abs_action: jnp.ndarray,
     abs = acceler * a_inc + cur_vel outside, multi_ppo.py:202-205)."""
     dtype = state.pos.dtype
 
+    # ---- 0. advance dynamic sphere obstacles (extension; obstacles move
+    # first, then drones react this step) ----
+    if world.sphere_count:
+        from rvo3d_tpu.env.obstacles import step_spheres
+
+        sp, sv = step_spheres(state.sphere_pos, state.sphere_vel,
+                              world.spheres, world.map_size, p.dt,
+                              p.goal_threshold)
+        state = state._replace(sphere_pos=sp, sphere_vel=sv)
+
     # ---- 1. RVO shaping reward on PRE-step states (mdin.py:24) ----
     states12_pre, state = drone_states_12(world, state, p)
-    r_rvo = rvo_reward(states12_pre, abs_action, p)
+    r_rvo = rvo_reward(states12_pre, abs_action, p,
+                       others=_vo_others(world, state, states12_pre))
 
     # ---- 2. physics (drone.move_forward, drone.py:96-119) ----
     new_vel, new_yaw, new_pitch, _ = geo.kinematic_step(
@@ -178,7 +221,8 @@ def step(world: WorldSpec, state: DroneState, abs_action: jnp.ndarray,
     )
 
     vo = vo_observe(
-        states12_post, abs_action, world.buildings, world.building_mask, p
+        states12_post, abs_action, world.buildings, world.building_mask, p,
+        others=_vo_others(world, state, states12_post),
     )
     collision = vo.collision | geo.out_of_map(new_pos, world.map_size)
 

@@ -33,7 +33,7 @@ def angle_bucket_bonus(angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def rvo_reward(states: jnp.ndarray, actions: jnp.ndarray,
-               p: EnvParams) -> jnp.ndarray:
+               p: EnvParams, others: jnp.ndarray | None = None) -> jnp.ndarray:
     """RVO shaping reward on PRE-step states (ir_gym.rvo_reward_cal,
     ir_gym.py:64-133):
       angle bucket bonus
@@ -42,7 +42,7 @@ def rvo_reward(states: jnp.ndarray, actions: jnp.ndarray,
                                          inf exactly like numpy would)
       + (p_base + p_urgent*exp(-t/0.5) if any cone flagged and t < 2)
     rounded to 3 decimals. states: [N, 12]; actions: [N, 3] -> [N]."""
-    info = vo_reward_info(states, actions, p)
+    info = vo_reward_info(states, actions, p, others)
 
     des_vel = geo.rnd(states[:, 8:11], 3, p.parity_rounding)
     vel_penalty = 0.2 * geo.norm3(actions) / geo.norm3(des_vel)

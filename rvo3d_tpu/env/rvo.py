@@ -32,42 +32,52 @@ INF = jnp.inf
 
 
 class PairwiseVO(NamedTuple):
-    """Per-ordered-pair (i=self, j=other) quantities, all [N, N]."""
+    """Per-ordered-pair (i=self, j=other) quantities, all [N, M] where M is
+    the number of 'other' participants (the N drones themselves, plus any
+    dynamic sphere obstacles appended as extra VO participants)."""
 
     valid: jnp.ndarray        # neighbor gate: not-self-position and dis <= 10
     collision: jnp.ndarray    # pair collision branch hit
     vo_flag: jnp.ndarray      # inside cone and expected time < threshold
     exp_time: jnp.ndarray     # expected collision time for flagged pairs
-    obs9: jnp.ndarray         # [N, N, 9] observation block per pair
+    obs9: jnp.ndarray         # [N, M, 9] observation block per pair
     min_dis4: jnp.ndarray     # the 5th return slot of config_vo_circle2
                               #  (r_a+r_b | real dis | real dis - r_b per branch)
     sort_t: jnp.ndarray       # input_exp_time sort key (urgency, ascending)
     sort_d: jnp.ndarray       # min_dis secondary sort key (descending)
 
 
-def pairwise_vo(states: jnp.ndarray, actions: jnp.ndarray, p: EnvParams) -> PairwiseVO:
+def pairwise_vo(states: jnp.ndarray, actions: jnp.ndarray, p: EnvParams,
+                others: jnp.ndarray | None = None) -> PairwiseVO:
     """states: [N, 12] = [pos(3), vel(3), radius, priority, des_vel(3), dev];
-    actions: [N, 3]. Returns all per-pair branch results."""
+    actions: [N, 3]; others: [M, 8] = [pos(3), vel(3), radius, priority]
+    (defaults to the drones themselves). Returns per-pair branch results."""
     pos = states[:, 0:3]
     vel = states[:, 3:6]
     radius = states[:, 6]
     prio = states[:, 7]
+    if others is None:
+        others = states[:, 0:8]
+    o_pos = others[:, 0:3]
+    o_vel = others[:, 3:6]
+    o_radius = others[:, 6]
+    o_prio = others[:, 7]
 
     # reference zeroes near-zero actions (rvo_inter.py:118-119)
     act_norm = geo.norm3(actions)
     act = jnp.where((act_norm < 1e-5)[:, None], 0.0, actions)
 
-    rel = pos[None, :, :] - pos[:, None, :]             # [N, N, 3]: p_j - p_i
+    rel = o_pos[None, :, :] - pos[:, None, :]           # [N, M, 3]: p_j - p_i
     dis = geo.norm3(rel)                                # real distance
-    r_sum = radius[:, None] + radius[None, :]
+    r_sum = radius[:, None] + o_radius[None, :]
 
-    pos_equal = jnp.all(pos[:, None, :] == pos[None, :, :], axis=-1)
+    pos_equal = jnp.all(pos[:, None, :] == o_pos[None, :, :], axis=-1)
     valid = (~pos_equal) & (dis <= p.drone_range)
 
     if p.env_train:
         collision = dis <= r_sum
     else:
-        collision = dis <= (radius[:, None] - p.exp_radius + radius[None, :])
+        collision = dis <= (radius[:, None] - p.exp_radius + o_radius[None, :])
 
     dot = jnp.sum(vel[:, None, :] * rel, axis=-1)       # v_i . (p_j - p_i)
     backoff = (~collision) & (dot <= 0.0)
@@ -78,20 +88,20 @@ def pairwise_vo(states: jnp.ndarray, actions: jnp.ndarray, p: EnvParams) -> Pair
     paa = geo.reciprocal_apex(
         pos[:, None, :],
         jnp.broadcast_to(prio[:, None], dis.shape),
-        jnp.broadcast_to(prio[None, :], dis.shape),
+        jnp.broadcast_to(o_prio[None, :], dis.shape),
         vel[:, None, :],
-        vel[None, :, :],
-    )                                                    # [N, N, 3]
+        o_vel[None, :, :],
+    )                                                    # [N, M, 3]
     outside = geo.vo_cone_outside(
         pos[:, None, :], act[:, None, :], paa, rel, alpha, p.delta_t,
         parity_round=p.parity_rounding,
     )
-    rel_v_origin = 2.0 * act[:, None, :] - vel[None, :, :] - vel[:, None, :]
+    rel_v_origin = 2.0 * act[:, None, :] - o_vel[None, :, :] - vel[:, None, :]
     t_raw = geo.vo_expected_time(rel, rel_v_origin, r_sum)
     vo_flag = normal & (~outside) & (t_raw < p.ctime_threshold)
     exp_time = jnp.where(vo_flag, t_raw, INF)            # inf when outside/slow
     input_exp_time = 1.0 / (exp_time + 0.2)              # 1/inf -> 0 like numpy
-    min_dis_n = dis - radius[None, :]                    # real_dis - r_b
+    min_dis_n = dis - o_radius[None, :]                  # real_dis - r_b
 
     # --- assemble the 9-D block per branch ---
     pos_b = jnp.broadcast_to(pos[:, None, :], rel.shape)
@@ -152,10 +162,12 @@ class VORewardInfo(NamedTuple):
 
 
 def vo_reward_info(states: jnp.ndarray, actions: jnp.ndarray,
-                   p: EnvParams) -> VORewardInfo:
-    """config_vo_reward aggregation (rvo_inter.py:63-83): drones only, no
-    buildings, no top-k — just the urgency aggregates that feed the reward."""
-    pw = pairwise_vo(states, actions, p)
+                   p: EnvParams,
+                   others: jnp.ndarray | None = None) -> VORewardInfo:
+    """config_vo_reward aggregation (rvo_inter.py:63-83): moving
+    participants only, no buildings, no top-k — just the urgency aggregates
+    that feed the reward."""
+    pw = pairwise_vo(states, actions, p, others)
     flagged = pw.vo_flag & pw.valid
     vo_any = jnp.any(flagged, axis=-1)
     min_exp = jnp.min(jnp.where(flagged, pw.exp_time, INF), axis=-1)
@@ -173,7 +185,8 @@ class VOObservation(NamedTuple):
 
 def vo_observe(states: jnp.ndarray, actions: jnp.ndarray,
                buildings: jnp.ndarray, building_mask: jnp.ndarray,
-               p: EnvParams) -> VOObservation:
+               p: EnvParams,
+               others: jnp.ndarray | None = None) -> VOObservation:
     """config_vo_inf (rvo_inter.py:20-61): flagged neighbor blocks sorted by
     (input_exp_time asc, min_dis desc), keep the nm most urgent (the LAST nm
     of the sorted list), plus collision/urgency aggregates.
@@ -183,7 +196,8 @@ def vo_observe(states: jnp.ndarray, actions: jnp.ndarray,
     the front and are cut by the tail window, exactly like never being
     appended to obs_vo_list."""
     n = states.shape[0]
-    pw = pairwise_vo(states, actions, p)
+    pw = pairwise_vo(states, actions, p, others)
+    m = pw.valid.shape[1]
     flagged = pw.vo_flag & pw.valid
 
     vo_any = jnp.any(flagged, axis=-1)
@@ -199,9 +213,9 @@ def vo_observe(states: jnp.ndarray, actions: jnp.ndarray,
     # ascending (== min_dis descending), full ties keep j ascending — the
     # same order as Python's stable reverse sort on (-t, d) keys
     # (rvo_inter.py:50) followed by the tail slice (rvo_inter.py:53-56).
-    order = jnp.lexsort((-pw.sort_d, pw.sort_t), axis=-1)   # [N, N]
-    k = min(p.neighbor_num, n)
-    tail = order[:, n - k:]                                  # [N, k] ascending urgency
+    order = jnp.lexsort((-pw.sort_d, pw.sort_t), axis=-1)   # [N, M]
+    k = min(p.neighbor_num, m)
+    tail = order[:, m - k:]                                  # [N, k] ascending urgency
     obs_k = jnp.take_along_axis(pw.obs9, tail[..., None], axis=1)   # [N, k, 9]
     mask_k = jnp.take_along_axis(flagged, tail, axis=1)             # [N, k]
 

@@ -8,10 +8,12 @@ env instances), so the entire step is one fused XLA program.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
+
+from rvo3d_tpu.env.obstacles import SphereSpec, make_sphere_spec
 
 
 class WorldSpec(NamedTuple):
@@ -35,10 +37,15 @@ class WorldSpec(NamedTuple):
     radius: jnp.ndarray         # [N]
     priority: jnp.ndarray       # [N]
     vel_max: jnp.ndarray        # [N, 3]
+    spheres: Optional[SphereSpec] = None  # dynamic sphere obstacles (env/obstacles.py)
 
     @property
     def num_drones(self) -> int:
         return self.waypoints.shape[0]
+
+    @property
+    def sphere_count(self) -> int:
+        return 0 if self.spheres is None else self.spheres.count
 
     @property
     def starts(self) -> jnp.ndarray:
@@ -83,6 +90,8 @@ class DroneState(NamedTuple):
     extra_len: jnp.ndarray         # [N]
     max_deviation: jnp.ndarray     # [N]
     prev_pos: jnp.ndarray          # [N, 3]
+    sphere_pos: jnp.ndarray        # [S, 3] dynamic sphere obstacle positions
+    sphere_vel: jnp.ndarray        # [S, 3]
 
     def current_des(self, world: WorldSpec) -> jnp.ndarray:
         """waypoints[i] — the active target waypoint."""
@@ -120,6 +129,13 @@ def init_drone_state(world: WorldSpec, dtype=jnp.float32) -> DroneState:
     n = world.num_drones
     starts = world.waypoints[:, 0, :].astype(dtype)
     z = jnp.zeros((n,), dtype)
+    s = world.sphere_count
+    if s:
+        sp = world.spheres.init[:, 0:3].astype(dtype)
+        sv = world.spheres.init[:, 3:6].astype(dtype)
+    else:
+        sp = jnp.zeros((0, 3), dtype)
+        sv = jnp.zeros((0, 3), dtype)
     return DroneState(
         pos=starts,
         vel=jnp.zeros((n, 3), dtype),
@@ -133,6 +149,8 @@ def init_drone_state(world: WorldSpec, dtype=jnp.float32) -> DroneState:
         extra_len=z,
         max_deviation=z,
         prev_pos=starts,
+        sphere_pos=sp,
+        sphere_vel=sv,
     )
 
 
@@ -146,9 +164,12 @@ def make_world_spec(
     vel_max: float = 1.0,
     pad_waypoints: int | None = None,
     pad_buildings: int | None = None,
+    spheres=None,
     dtype=np.float32,
 ) -> WorldSpec:
-    """Build a padded WorldSpec from the data_1.json schema lists."""
+    """Build a padded WorldSpec from the data_1.json schema lists.
+    `spheres`: optional list of sphere-obstacle dicts (see
+    obstacles.make_sphere_spec) or a prebuilt SphereSpec."""
     n = len(waypoints_list)
     n_points = np.array([len(w) for w in waypoints_list], np.int32)
     w_max = int(pad_waypoints or max(2, n_points.max()))
@@ -172,6 +193,9 @@ def make_world_spec(
         buildings[i] = np.asarray(bd, dtype)
         bmask[i] = True
 
+    if spheres is not None and not isinstance(spheres, SphereSpec):
+        spheres = make_sphere_spec(spheres, priority=priority, dtype=dtype)
+
     return WorldSpec(
         waypoints=jnp.asarray(wps),
         n_points=jnp.asarray(n_points),
@@ -182,4 +206,5 @@ def make_world_spec(
         radius=jnp.full((n,), radius, dtype),
         priority=jnp.full((n,), priority, dtype),
         vel_max=jnp.full((n, 3), vel_max, dtype),
+        spheres=spheres,
     )
