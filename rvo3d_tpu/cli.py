@@ -67,6 +67,7 @@ def cmd_train(args) -> int:
     cfg, wd = _build_cfg(args)
     run_dir = args.run_dir or _fresh_run_dir(
         "runs", f"r{wd.drone_num}")
+    os.makedirs(run_dir, exist_ok=True)
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump(to_dict(cfg), f, indent=2)
     print(f"run dir: {run_dir}")

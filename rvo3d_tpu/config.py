@@ -86,6 +86,7 @@ class ModelConfig:
     log_std_init: float = -1.0       # policy_rnn_ac.py:198
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # set 'bfloat16' for MXU-friendly inference
+    use_pallas_gru: bool = False     # fused TPU GRU kernel (ops/pallas_gru.py)
 
 
 @dataclasses.dataclass(frozen=True)

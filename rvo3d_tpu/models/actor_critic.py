@@ -88,6 +88,7 @@ class ActorCritic(nn.Module):
             input_dim=c.rnn_input_dim,
             hidden_dim=c.rnn_hidden_dim,
             mode=c.rnn_mode,
+            use_pallas=getattr(c, "use_pallas_gru", False),
         )
         self.actor = MLP(tuple(c.hidden_sizes_ac) + (self.act_dim,),
                          output_activation="tanh")

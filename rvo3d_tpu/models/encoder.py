@@ -42,10 +42,13 @@ def torch_rnn_init(hidden_dim: int):
 
 class _GRUCore(nn.Module):
     """One direction of a torch-layout GRU: packed gate order (r, z, n),
-    h' = (1-z)*n + z*h with n = tanh(W_in x + b_in + r*(W_hn h + b_hn))."""
+    h' = (1-z)*n + z*h with n = tanh(W_in x + b_in + r*(W_hn h + b_hn)).
+    With use_pallas the whole masked scan runs as one fused TPU kernel
+    (ops/pallas_gru.py) — identical semantics, exact custom-VJP gradients."""
 
     input_dim: int
     hidden_dim: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -55,6 +58,15 @@ class _GRUCore(nn.Module):
         w_hh = self.param("w_hh", init, (h, 3 * h))
         b_ih = self.param("b_ih", init, (3 * h,))
         b_hh = self.param("b_hh", init, (3 * h,))
+
+        if self.use_pallas:
+            from rvo3d_tpu.ops.pallas_gru import masked_gru_scan
+
+            lead = xs.shape[1:-1]
+            xs2 = xs.reshape(xs.shape[0], -1, xs.shape[-1])
+            m2 = mask.astype(xs.dtype).reshape(mask.shape[0], -1)
+            out = masked_gru_scan(xs2, m2, w_ih, w_hh, b_ih, b_hh)
+            return out.reshape(lead + (h,))
 
         def cell(hid, inp):
             x, m = inp
@@ -115,6 +127,7 @@ class NeighborEncoder(nn.Module):
     input_dim: int = 9
     hidden_dim: int = 256
     mode: str = "biGRU"  # 'GRU' | 'biGRU' | 'LSTM'
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, self_state: jnp.ndarray, neighbors: jnp.ndarray,
@@ -132,10 +145,13 @@ class NeighborEncoder(nn.Module):
         ms = jnp.moveaxis(mask, -1, 0)            # [nm, ...]
 
         if self.mode == "GRU":
-            hn = _GRUCore(self.input_dim, self.hidden_dim, name="fwd")(xs, ms)
+            hn = _GRUCore(self.input_dim, self.hidden_dim,
+                          use_pallas=self.use_pallas, name="fwd")(xs, ms)
         elif self.mode == "biGRU":
-            h_f = _GRUCore(self.input_dim, self.hidden_dim, name="fwd")(xs, ms)
-            h_b = _GRUCore(self.input_dim, self.hidden_dim, name="bwd")(
+            h_f = _GRUCore(self.input_dim, self.hidden_dim,
+                           use_pallas=self.use_pallas, name="fwd")(xs, ms)
+            h_b = _GRUCore(self.input_dim, self.hidden_dim,
+                           use_pallas=self.use_pallas, name="bwd")(
                 xs[::-1], ms[::-1]
             )
             hn = h_f + h_b                         # hidden-sum (policy_rnn_ac.py:121-122)
