@@ -119,6 +119,8 @@ def rollout_epoch(ac: ActorCritic, world: WorldSpec, env_p: EnvParams,
     """Collect cfg.steps_per_epoch steps across all E env lanes."""
 
     step_b = jax.vmap(functools.partial(step, world, p=env_p))
+    step_noise_b = jax.vmap(
+        lambda s, a, k: step(world, s, a, env_p, noise_key=k))
     observe_b = jax.vmap(functools.partial(observe, world, p=env_p))
     reset_where_b = jax.vmap(functools.partial(reset_where, world))
 
@@ -135,7 +137,12 @@ def rollout_epoch(ac: ActorCritic, world: WorldSpec, env_p: EnvParams,
             env_p.acceler * a_inc + c.env_state.vel, 2, env_p.parity_rounding
         )
 
-        env_state, out = step_b(c.env_state, abs_action)
+        if env_p.noise:
+            rng, nk = jax.random.split(rng)
+            nkeys = jax.random.split(nk, abs_action.shape[0])
+            env_state, out = step_noise_b(c.env_state, abs_action, nkeys)
+        else:
+            env_state, out = step_b(c.env_state, abs_action)
 
         ep_len = c.ep_len + 1
         ep_ret = c.ep_ret + out.reward

@@ -130,7 +130,12 @@ class Trainer:
         return metrics
 
     def train(self, epochs: Optional[int] = None, log_fn=print,
-              checkpoint_fn=None) -> None:
+              checkpoint_fn=None, eval_fn=None,
+              eval_every: Optional[int] = None) -> None:
+        """eval_fn(epoch, ppo_state) runs every eval_every epochs — the
+        reference's mid-training evaluation (multi_ppo.py:283-292 runs it
+        in a thread on a second env; here it's a jitted function sharing
+        the device, so it runs inline)."""
         epochs = epochs if epochs is not None else self.cfg.train.train_epoch
         for epoch in range(epochs + 1):
             metrics = self.run_epoch()
@@ -140,3 +145,7 @@ class Trainer:
                 epoch % self.cfg.train.save_freq == 0 or epoch == epochs
             ):
                 checkpoint_fn(epoch, self.ppo_state)
+            if eval_fn and eval_every and (
+                epoch % eval_every == 0 or epoch == epochs
+            ) and epoch > 0:
+                eval_fn(epoch, self.ppo_state)

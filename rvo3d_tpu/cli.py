@@ -98,8 +98,26 @@ def cmd_train(args) -> int:
     def save(epoch, state):
         save_checkpoint(ckpt_dir, epoch, state, cfg)
 
+    eval_fn = None
+    if args.eval_every:
+        from rvo3d_tpu.algo.evaluator import evaluate
+
+        results_path = os.path.join(run_dir, "results.txt")
+
+        def eval_fn(epoch, state):
+            m = evaluate(trainer.ac, state.params, trainer.world, cfg.env,
+                         jax.random.PRNGKey(epoch), num_episodes=args.eval_episodes,
+                         num_lanes=8)
+            line = (f"epoch {epoch}: success {m['success_rate']:.2%} "
+                    f"EpLen {m['mean_ep_len']}±{m['std_ep_len']} "
+                    f"speed {m['mean_speed']}±{m['std_speed']}")
+            print(line)
+            with open(results_path, "a") as f:
+                f.write(line + "\n")
+
     trainer.train(epochs=args.train_epoch, log_fn=logger.log,
-                  checkpoint_fn=save)
+                  checkpoint_fn=save, eval_fn=eval_fn,
+                  eval_every=args.eval_every)
     write_reward_csv(os.path.join(run_dir, "reward_curves.csv"),
                      logger.read())
     plot_reward_curves(os.path.join(run_dir, "train.jsonl"),
@@ -272,6 +290,9 @@ def main(argv=None) -> int:
     t.add_argument("--mesh_model", type=int, default=1)
     t.add_argument("--auto_mesh", action="store_true")
     t.add_argument("--quiet", action="store_true")
+    t.add_argument("--eval_every", type=int, default=0,
+                   help="run evaluation every N epochs (0 = off)")
+    t.add_argument("--eval_episodes", type=int, default=40)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="evaluate a policy")

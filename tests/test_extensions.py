@@ -128,9 +128,15 @@ def test_rvo_velocity_dodges_imminent_head_on():
     assert dev > 1e-3, f"controller kept the head-on velocity {v[0]}"
 
     # and stepping the closed loop stays collision-free
-    for _ in range(30):
+    import jax
+
+    @jax.jit
+    def loop_step(state):
         a = rvo_controller(state, world, p)
-        state, out = step(world, state, a, p)
+        return step(world, state, a, p)
+
+    for _ in range(30):
+        state, out = loop_step(state)
         assert not bool(out.done.any()), "rvo controller collided"
         if bool(out.finish.all()):
             break
