@@ -40,11 +40,27 @@ def theta_star_3d(
     kh: float = 1.25,
     ke: float = 1.0,
     blocked_threshold: float = 1.0,
+    use_native: Optional[bool] = None,
 ) -> Optional[Tuple[np.ndarray, int]]:
     """grid_safe: [Y, X, Z] (0 free / 0.5 margin / 1 blocked).
     start/goal: (y, x, z) continuous coords, floored/ceiled to the grid like
     the reference (theta_star_3D.py:12-18). Returns (path [K, 3], K) or
-    None if unreachable."""
+    None if unreachable.
+
+    use_native=None auto-selects the C++ core (native/theta_star.cpp) when
+    the toolchain is available — identical results, far faster on big
+    grids; set RVO3D_NO_NATIVE=1 to force pure Python."""
+    if use_native is None:
+        from rvo3d_tpu.worlds.gen.native import native_available
+
+        use_native = native_available()
+    if use_native:
+        from rvo3d_tpu.worlds.gen.native import theta_star_native
+
+        return theta_star_native(
+            grid_safe, start, goal, kg=kg, kh=kh, ke=ke,
+            blocked_threshold=blocked_threshold,
+        )
     ys, xs, zs = grid_safe.shape
     s = (int(np.floor(start[0])), int(np.floor(start[1])),
          int(np.floor(start[2])))
