@@ -35,9 +35,13 @@ def _build_cfg(args) -> "Config":
 
     wd = load_world(args.world)
     env = EnvParams(num_drones=wd.drone_num,
-                    neighbor_num=args.neighbors_num)
+                    neighbor_num=args.neighbors_num,
+                    mov_p_dest=args.p_dest,
+                    mov_p_way=args.p_way)
     model = ModelConfig(rnn_hidden_dim=args.rnn_hidden_dim,
-                        rnn_mode=args.rnn_mode)
+                        rnn_mode=args.rnn_mode,
+                        log_std_init=args.log_std_init,
+                        use_pallas_gru=args.pallas_gru)
     train = TrainConfig(
         pi_lr=args.pi_lr, vf_lr=args.vf_lr, train_epoch=args.train_epoch,
         steps_per_epoch=args.steps_per_epoch, max_ep_len=args.max_ep_len,
@@ -286,6 +290,14 @@ def main(argv=None) -> int:
     t.add_argument("--rnn_mode", default="biGRU",
                    choices=["GRU", "biGRU", "LSTM"])
     t.add_argument("--neighbors_num", type=int, default=10)
+    t.add_argument("--p_dest", type=float, default=20.0,
+                   help="destination-arrival reward (reference: 20; the "
+                        "reference's value makes perpetual cruising optimal "
+                        "at gamma=0.99 — raise to make arrival dominate)")
+    t.add_argument("--p_way", type=float, default=3.0)
+    t.add_argument("--log_std_init", type=float, default=-1.0)
+    t.add_argument("--pallas_gru", action="store_true",
+                   help="use the fused Pallas GRU kernel on TPU")
     t.add_argument("--mesh_data", type=int, default=1)
     t.add_argument("--mesh_model", type=int, default=1)
     t.add_argument("--auto_mesh", action="store_true")
