@@ -112,3 +112,25 @@ def test_policy_params_change_after_update(tiny_cfg, reference_worlds_available)
         not np.allclose(a, b) for a, b in zip(leaves_before, leaves_after)
     )
     assert changed, "update did not modify any parameters"
+
+
+def test_evaluator_smoke(tiny_cfg, reference_worlds_available):
+    if not reference_worlds_available:
+        pytest.skip("reference world fixtures not present")
+    import jax
+
+    from rvo3d_tpu.algo.evaluator import evaluate
+    from rvo3d_tpu.models import ActorCritic
+
+    wd = load_world("world_3")
+    ac = ActorCritic(tiny_cfg.model)
+    nm = tiny_cfg.env.neighbor_num
+    params = ac.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 12)), jnp.zeros((1, nm, 9)), jnp.zeros((1, nm), bool),
+    )
+    m = evaluate(ac, params, wd.spec(), tiny_cfg.env, jax.random.PRNGKey(1),
+                 num_episodes=4, num_lanes=2, max_ep_len=25)
+    assert m["episodes"] >= 1
+    assert 0.0 <= m["success_rate"] <= 1.0
+    assert np.isfinite(m["mean_speed"])
