@@ -94,14 +94,20 @@ class RolloutBatch(NamedTuple):
 
 
 def init_rollout_carry(world: WorldSpec, p: EnvParams, num_envs: int,
-                       rng: jax.Array, dtype=jnp.float32) -> RolloutCarry:
+                       rng: jax.Array, dtype=jnp.float32,
+                       lane_worlds: WorldSpec | None = None) -> RolloutCarry:
     from rvo3d_tpu.env.env import reset
 
-    s = reset(world, p, dtype)
-    state = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape).copy(), s
-    )
-    out, state = jax.vmap(lambda st: observe(world, st, p))(state)
+    if lane_worlds is None:
+        s = reset(world, p, dtype)
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape).copy(), s
+        )
+        out, state = jax.vmap(lambda st: observe(world, st, p))(state)
+    else:
+        state = jax.vmap(lambda w: reset(w, p, dtype))(lane_worlds)
+        out, state = jax.vmap(
+            lambda w, st: observe(w, st, p))(lane_worlds, state)
     n = world.num_drones
     return RolloutCarry(
         env_state=state,
@@ -114,15 +120,32 @@ def init_rollout_carry(world: WorldSpec, p: EnvParams, num_envs: int,
 
 
 def rollout_epoch(ac: ActorCritic, world: WorldSpec, env_p: EnvParams,
-                  cfg: TrainConfig, params, carry: RolloutCarry
+                  cfg: TrainConfig, params, carry: RolloutCarry,
+                  lane_worlds: WorldSpec | None = None
                   ) -> Tuple[RolloutCarry, RolloutBatch]:
-    """Collect cfg.steps_per_epoch steps across all E env lanes."""
+    """Collect cfg.steps_per_epoch steps across all E env lanes.
 
-    step_b = jax.vmap(functools.partial(step, world, p=env_p))
-    step_noise_b = jax.vmap(
-        lambda s, a, k: step(world, s, a, env_p, noise_key=k))
-    observe_b = jax.vmap(functools.partial(observe, world, p=env_p))
-    reset_where_b = jax.vmap(functools.partial(reset_where, world))
+    lane_worlds: optional per-lane WorldSpec (leaves [E, ...]) for
+    multi-scenario batches (worlds/multi.py); `world` is then only used for
+    static shape info."""
+
+    if lane_worlds is None:
+        step_b = jax.vmap(functools.partial(step, world, p=env_p))
+        step_noise_b = jax.vmap(
+            lambda s, a, k: step(world, s, a, env_p, noise_key=k))
+        observe_b = jax.vmap(functools.partial(observe, world, p=env_p))
+        reset_where_b = jax.vmap(functools.partial(reset_where, world))
+    else:
+        lw = lane_worlds
+        step_b = lambda s, a: jax.vmap(
+            lambda w, st, ac_: step(w, st, ac_, env_p))(lw, s, a)
+        step_noise_b = lambda s, a, k: jax.vmap(
+            lambda w, st, ac_, kk: step(w, st, ac_, env_p, noise_key=kk)
+        )(lw, s, a, k)
+        observe_b = lambda s: jax.vmap(
+            lambda w, st: observe(w, st, env_p))(lw, s)
+        reset_where_b = lambda s, m: jax.vmap(
+            lambda w, st, mm: reset_where(w, st, mm))(lw, s, m)
 
     T = cfg.steps_per_epoch
 

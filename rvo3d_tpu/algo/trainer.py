@@ -35,14 +35,15 @@ class EpochOutput(NamedTuple):
 
 
 def make_train_epoch(ac: ActorCritic, world: WorldSpec, cfg: Config,
-                     pi_tx, vf_tx):
+                     pi_tx, vf_tx, lane_worlds=None):
     env_p = cfg.env
     tr = cfg.train
 
     def train_epoch(ppo_state: PPOState, carry: RolloutCarry,
                     key: jax.Array) -> EpochOutput:
         carry, batch = rollout_epoch(
-            ac, world, env_p, tr, ppo_state.params, carry
+            ac, world, env_p, tr, ppo_state.params, carry,
+            lane_worlds=lane_worlds,
         )
         cut_full = batch.cut[:, :, None]                    # [T, E, 1]
         adv, ret = gae_advantages(batch.rew, batch.val, cut_full,
@@ -68,11 +69,15 @@ class Trainer:
     """End-to-end training driver (reference: train/train_process.py)."""
 
     def __init__(self, cfg: Config, world: WorldSpec,
-                 mesh: Optional[Any] = None):
+                 mesh: Optional[Any] = None, lane_worlds: Any = None):
+        """lane_worlds: optional per-lane WorldSpec (leaves
+        [num_envs, ...], see worlds/multi.py) for multi-scenario training;
+        `world` then supplies static shapes (any of the stacked specs)."""
         self.cfg = cfg
         self.world = world
         self.ac = ActorCritic(cfg.model)
         self.mesh = mesh
+        self.lane_worlds = lane_worlds
 
         key = jax.random.PRNGKey(cfg.train.seed)
         self.key, init_key = jax.random.split(key)
@@ -92,10 +97,12 @@ class Trainer:
 
         self.key, carry_key = jax.random.split(self.key)
         self.carry = init_rollout_carry(
-            world, cfg.env, cfg.train.num_envs, carry_key
+            world, cfg.env, cfg.train.num_envs, carry_key,
+            lane_worlds=lane_worlds,
         )
         self._train_epoch = jax.jit(
-            make_train_epoch(self.ac, world, cfg, self.pi_tx, self.vf_tx)
+            make_train_epoch(self.ac, world, cfg, self.pi_tx, self.vf_tx,
+                             lane_worlds=lane_worlds)
         )
 
     def run_epoch(self) -> Dict[str, Any]:
