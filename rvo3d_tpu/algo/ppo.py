@@ -89,12 +89,19 @@ def _select(pred, a, b):
     )
 
 
-def pi_loss_fn(ac: ActorCritic, params, batch: AgentData, clip_ratio: float):
+def pi_loss_fn(ac: ActorCritic, params, batch: AgentData, clip_ratio: float,
+               adv_norm: bool = False, ent_coef: float = 0.0):
     logp = ac.apply(params, batch.obs_self, batch.obs_nbr, batch.obs_mask,
                     batch.act, method=ActorCritic.logp)
+    adv = batch.adv
+    if adv_norm:
+        adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
     ratio = jnp.exp(logp - batch.logp)
-    clip_adv = jnp.clip(ratio, 1 - clip_ratio, 1 + clip_ratio) * batch.adv
-    loss = -jnp.mean(jnp.minimum(ratio * batch.adv, clip_adv))
+    clip_adv = jnp.clip(ratio, 1 - clip_ratio, 1 + clip_ratio) * adv
+    loss = -jnp.mean(jnp.minimum(ratio * adv, clip_adv))
+    if ent_coef:
+        ent = ac.apply(params, method=ActorCritic.entropy)
+        loss = loss - ent_coef * jnp.mean(ent)
     kl = jnp.mean(batch.logp - logp)
     clipped = (ratio > 1 + clip_ratio) | (ratio < 1 - clip_ratio)
     return loss, (kl, jnp.mean(clipped.astype(jnp.float32)))
@@ -119,7 +126,8 @@ def update_one_agent(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
 
     def pi_body(c):
         i, params, opt, _, first_loss, _, iters = c
-        (loss, (kl, _)), grads = pi_grad(params, batch, cfg.clip_ratio)
+        (loss, (kl, _)), grads = pi_grad(params, batch, cfg.clip_ratio,
+                                         cfg.adv_norm, cfg.ent_coef)
         stop = kl > cfg.target_kl
         updates, new_opt = pi_tx.update(grads, opt, params)
         new_params = optax.apply_updates(params, updates)

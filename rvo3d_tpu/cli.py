@@ -49,6 +49,7 @@ def _build_cfg(args) -> "Config":
         train_pi_iters=args.train_pi_iters, train_v_iters=args.train_v_iters,
         target_kl=args.target_kl, max_update_num=args.max_update_num,
         seed=args.seed, save_freq=args.save_freq, num_envs=args.num_envs,
+        adv_norm=args.adv_norm, ent_coef=args.ent_coef,
     )
     return Config(env=env, model=model, train=train,
                   mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
@@ -296,6 +297,9 @@ def main(argv=None) -> int:
                         "at gamma=0.99 — raise to make arrival dominate)")
     t.add_argument("--p_way", type=float, default=3.0)
     t.add_argument("--log_std_init", type=float, default=-1.0)
+    t.add_argument("--adv_norm", action="store_true",
+                   help="standardize advantages (extension; off = reference)")
+    t.add_argument("--ent_coef", type=float, default=0.0)
     t.add_argument("--pallas_gru", action="store_true",
                    help="use the fused Pallas GRU kernel on TPU")
     t.add_argument("--mesh_data", type=int, default=1)

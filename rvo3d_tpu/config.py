@@ -106,6 +106,9 @@ class TrainConfig:
     target_kl: float = 0.05
     max_update_num: int = 10         # cap on agents updated per epoch
     grad_clip_norm: float = 2.0
+    # extensions beyond the reference (off by default = reference-faithful)
+    adv_norm: bool = False           # per-agent advantage standardization
+    ent_coef: float = 0.0            # entropy bonus coefficient
     seed: int = 7
     save_freq: int = 50
     num_envs: int = 1                # E: vectorized env instances (reference: 1)
