@@ -37,7 +37,8 @@ def _build_cfg(args) -> "Config":
     env = EnvParams(num_drones=wd.drone_num,
                     neighbor_num=args.neighbors_num,
                     mov_p_dest=args.p_dest,
-                    mov_p_way=args.p_way)
+                    mov_p_way=args.p_way,
+                    mov_p_progress=args.p_progress)
     model = ModelConfig(rnn_hidden_dim=args.rnn_hidden_dim,
                         rnn_mode=args.rnn_mode,
                         log_std_init=args.log_std_init,
@@ -296,6 +297,9 @@ def main(argv=None) -> int:
                         "reference's value makes perpetual cruising optimal "
                         "at gamma=0.99 — raise to make arrival dominate)")
     t.add_argument("--p_way", type=float, default=3.0)
+    t.add_argument("--p_progress", type=float, default=0.0,
+                   help="progress shaping toward the active waypoint "
+                        "(the reference's disabled progress term, working)")
     t.add_argument("--log_std_init", type=float, default=-1.0)
     t.add_argument("--adv_norm", action="store_true",
                    help="standardize advantages (extension; off = reference)")

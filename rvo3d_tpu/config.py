@@ -55,6 +55,12 @@ class EnvParams:
     mov_p_dest: float = 20.0
     mov_p_exlen: float = -0.3
     mov_collision: float = -50.0
+    # progress shaping: the reference designed but disabled a progress
+    # reward (ir_gym.py:302-304 commented out; its init_goal_dist is a
+    # dead placeholder). This is the working realization as potential-based
+    # shaping: + p_progress * (per-step distance gained toward the active
+    # waypoint). 0.0 = reference-faithful off.
+    mov_p_progress: float = 0.0
     # parity: replicate the reference's pervasive decimal rounding
     # (np.round(obs,2) ir_gym.py:229, round(reward,3) ir_gym.py:133/:311,
     #  round(des_vel,3) drone.py:207, round(alpha,2)/round(beta,2) vel_obs3D.py)

@@ -238,6 +238,13 @@ def step(world: WorldSpec, state: DroneState, abs_action: jnp.ndarray,
         exlen=exlen,
         p=p,
     )
+    if p.mov_p_progress:
+        # opt-in progress shaping (see EnvParams.mov_p_progress): distance
+        # gained this step toward the waypoint that was active during it
+        progress = geo.norm3(state.prev_pos - cur_des) - geo.norm3(
+            new_pos - cur_des)
+        r_mov = r_mov + jnp.where(
+            collision, 0.0, p.mov_p_progress * progress)
 
     out = StepOutput(
         obs_self=geo.rnd(states12_post, 2, p.parity_rounding),
