@@ -125,7 +125,7 @@ def main():
     spec.loader.exec_module(mod)
     world_dict = mod._flagship_world()
 
-    num_envs = int(os.environ.get("RVO3D_BENCH_ENVS", "4096"))
+    num_envs = int(os.environ.get("RVO3D_BENCH_ENVS", "16384"))
     steps = int(os.environ.get("RVO3D_BENCH_STEPS", "100"))
 
     value = bench_jax(world_dict, num_envs, steps)
