@@ -53,7 +53,8 @@ class EvalRecords(NamedTuple):
 
 def make_eval_chunk(ac: ActorCritic, world: WorldSpec, p: EnvParams,
                     max_ep_len: int = 150, acceler_vel: float = 1.0,
-                    std_factor: float = 1e-3, chunk: int = 160):
+                    std_factor: float = 1e-3, chunk: int = 160,
+                    action_mode: str = "increment"):
     step_b = jax.vmap(functools.partial(step, world, p=p))
     observe_b = jax.vmap(functools.partial(observe, world, p=p))
 
@@ -78,7 +79,10 @@ def make_eval_chunk(ac: ActorCritic, world: WorldSpec, p: EnvParams,
         ps = ac.apply(params, akey, obs_self, obs_nbr, obs_mask,
                       std_factor, method=ActorCritic.step)
         a = geo.rnd(ps.action, 2, p.parity_rounding)
-        abs_action = acceler_vel * a + c.env_state.vel
+        if action_mode == "direct":
+            abs_action = a
+        else:
+            abs_action = acceler_vel * a + c.env_state.vel
 
         env_state, out = step_b(c.env_state, abs_action)
         speed = jnp.mean(geo.norm3(env_state.vel), axis=-1)       # [E]
@@ -119,12 +123,14 @@ def make_eval_chunk(ac: ActorCritic, world: WorldSpec, p: EnvParams,
 def evaluate(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
              key: jax.Array, *, num_episodes: int = 100, num_lanes: int = 16,
              max_ep_len: int = 150, acceler_vel: float = 1.0,
-             std_factor: float = 1e-3) -> Dict[str, float]:
+             std_factor: float = 1e-3,
+             action_mode: str = "increment") -> Dict[str, float]:
     """Run until >= num_episodes episodes complete; return the reference's
     summary metrics (post_train.py:116-128)."""
     chunk = max_ep_len + 10
     chunk_fn = jax.jit(make_eval_chunk(
-        ac, world, p, max_ep_len, acceler_vel, std_factor, chunk))
+        ac, world, p, max_ep_len, acceler_vel, std_factor, chunk,
+        action_mode))
 
     s0 = reset(world, p)
     env_state = jax.tree_util.tree_map(

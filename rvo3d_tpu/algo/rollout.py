@@ -156,9 +156,13 @@ def rollout_epoch(ac: ActorCritic, world: WorldSpec, env_p: EnvParams,
         ps = ac.apply(params, akey, obs_self, obs_nbr, obs_mask,
                       method=ActorCritic.step)
         a_inc = geo.rnd(ps.action, 2, env_p.parity_rounding)
-        abs_action = geo.rnd(
-            env_p.acceler * a_inc + c.env_state.vel, 2, env_p.parity_rounding
-        )
+        if getattr(cfg, "action_mode", "increment") == "direct":
+            abs_action = a_inc
+        else:
+            abs_action = geo.rnd(
+                env_p.acceler * a_inc + c.env_state.vel, 2,
+                env_p.parity_rounding,
+            )
 
         if env_p.noise:
             rng, nk = jax.random.split(rng)

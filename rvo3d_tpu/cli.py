@@ -51,6 +51,7 @@ def _build_cfg(args) -> "Config":
         target_kl=args.target_kl, max_update_num=args.max_update_num,
         seed=args.seed, save_freq=args.save_freq, num_envs=args.num_envs,
         adv_norm=args.adv_norm, ent_coef=args.ent_coef,
+        action_mode=args.action_mode,
     )
     return Config(env=env, model=model, train=train,
                   mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
@@ -84,6 +85,18 @@ def cmd_train(args) -> int:
         trainer.ppo_state, start = restore_checkpoint(
             args.resume, trainer.ppo_state)
         print(f"resumed from {args.resume} @ epoch {start}")
+    elif args.bc_steps:
+        from rvo3d_tpu.algo.bc import bc_pretrain
+
+        params, bc_loss = bc_pretrain(
+            trainer.ac, trainer.ppo_state.params, trainer.world, cfg.env,
+            jax.random.PRNGKey(cfg.train.seed + 1),
+            num_envs=min(cfg.train.num_envs, 32),
+            train_steps=args.bc_steps, expert=args.bc_expert,
+            action_mode=cfg.train.action_mode,
+        )
+        trainer.ppo_state = trainer.ppo_state._replace(params=params)
+        print(f"BC warm start: {args.bc_steps} steps, final loss {bc_loss:.4f}")
 
     n_dev = len(jax.devices())
     if cfg.mesh.data * cfg.mesh.model > 1 or (args.auto_mesh and n_dev > 1):
@@ -113,7 +126,7 @@ def cmd_train(args) -> int:
         def eval_fn(epoch, state):
             m = evaluate(trainer.ac, state.params, trainer.world, cfg.env,
                          jax.random.PRNGKey(epoch), num_episodes=args.eval_episodes,
-                         num_lanes=8)
+                         num_lanes=8, action_mode=cfg.train.action_mode)
             line = (f"epoch {epoch}: success {m['success_rate']:.2%} "
                     f"EpLen {m['mean_ep_len']}±{m['std_ep_len']} "
                     f"speed {m['mean_speed']}±{m['std_speed']}")
@@ -162,12 +175,13 @@ def cmd_eval(args) -> int:
         state, epoch = restore_checkpoint(ckpt, trainer.ppo_state)
         params = state.params
         ac = trainer.ac
-        print(f"evaluating epoch {epoch}")
+        args.action_mode = cfg.train.action_mode  # match the training mapping
+        print(f"evaluating epoch {epoch} (action_mode={args.action_mode})")
 
     m = evaluate(ac, params, wd.spec(), env_p, jax.random.PRNGKey(args.seed),
                  num_episodes=args.episodes, num_lanes=args.lanes,
                  max_ep_len=args.max_ep_len, acceler_vel=args.acceler_vel,
-                 std_factor=args.std_factor)
+                 std_factor=args.std_factor, action_mode=args.action_mode)
     line = (f"world={args.world} success_rate={m['success_rate']:.2%} "
             f"EpLen={m['mean_ep_len']}±{m['std_ep_len']} "
             f"speed={m['mean_speed']}±{m['std_speed']} "
@@ -301,9 +315,18 @@ def main(argv=None) -> int:
                    help="progress shaping toward the active waypoint "
                         "(the reference's disabled progress term, working)")
     t.add_argument("--log_std_init", type=float, default=-1.0)
+    t.add_argument("--bc_steps", type=int, default=0,
+                   help="behavior-cloning warm start steps from the "
+                        "analytic controller before PPO (0 = off)")
+    t.add_argument("--bc_expert", default="waypoint",
+                   choices=["waypoint", "rvo"])
     t.add_argument("--adv_norm", action="store_true",
                    help="standardize advantages (extension; off = reference)")
     t.add_argument("--ent_coef", type=float, default=0.0)
+    t.add_argument("--action_mode", default="increment",
+                   choices=["increment", "direct"],
+                   help="'increment' = reference velocity-anchored mapping; "
+                        "'direct' = policy commands [acc, dyaw, dpitch]")
     t.add_argument("--pallas_gru", action="store_true",
                    help="use the fused Pallas GRU kernel on TPU")
     t.add_argument("--mesh_data", type=int, default=1)
@@ -328,6 +351,8 @@ def main(argv=None) -> int:
     e.add_argument("--std_factor", type=float, default=1e-3)
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--results_file", default=None)
+    e.add_argument("--action_mode", default="increment",
+                   choices=["increment", "direct"])
     e.set_defaults(fn=cmd_eval)
 
     w = sub.add_parser("worldgen", help="generate a world")

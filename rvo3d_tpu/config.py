@@ -115,6 +115,13 @@ class TrainConfig:
     # extensions beyond the reference (off by default = reference-faithful)
     adv_norm: bool = False           # per-agent advantage standardization
     ent_coef: float = 0.0            # entropy bonus coefficient
+    # 'increment': the reference trainer's velocity-anchored mapping
+    #   abs = acceler*a + vel (multi_ppo.py:202-205) — NOTE this adds the
+    #   velocity VECTOR to a [acc, Δyaw, Δpitch] command, which strips the
+    #   policy of angle authority whenever |v_y| or |v_z| > acceler (the
+    #   root cause of the reference checkpoints' spiral/dive failures).
+    # 'direct': the policy commands [acc, Δyaw, Δpitch] directly.
+    action_mode: str = "increment"
     seed: int = 7
     save_freq: int = 50
     num_envs: int = 1                # E: vectorized env instances (reference: 1)

@@ -92,8 +92,16 @@ def rvo_velocity(world: WorldSpec, state: DroneState, p: EnvParams,
                   radius_i, o_r):
         blocked = _cone_blocked(pos_i, cands, paa_i, rel_i, alpha_i,
                                 valid_i, p.delta_t)
+        # map awareness (improvement over the reference's broken legacy
+        # controller, which happily dives out of bounds): reject candidates
+        # whose 2-step lookahead leaves the map
+        future = pos_i[None, :] + 2.0 * cands * p.dt
+        oob = jnp.any(
+            (future < radius_i) | (future > world.map_size[None, :] - radius_i),
+            axis=-1,
+        )
         dist_to_des = geo.norm3(cands - des_i[None, :])
-        feasible = (~blocked) & cand_ok
+        feasible = (~blocked) & cand_ok & (~oob)
         any_feasible = jnp.any(feasible)
 
         # feasible: closest to desired velocity (vel_select, :131-138)
@@ -109,7 +117,7 @@ def rvo_velocity(world: WorldSpec, state: DroneState, p: EnvParams,
         t_exp = jnp.where(valid_i[None, :], t_exp, jnp.inf)
         t_min = jnp.min(t_exp, axis=-1)
         penalty = 1.0 / (t_min + 0.2) + dist_to_des
-        cost_pen = jnp.where(cand_ok, penalty, jnp.inf)
+        cost_pen = jnp.where(cand_ok & (~oob), penalty, jnp.inf)
 
         idx = jnp.where(any_feasible, jnp.argmin(cost_feas),
                         jnp.argmin(cost_pen))
