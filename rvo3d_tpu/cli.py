@@ -82,9 +82,14 @@ def cmd_train(args) -> int:
     trainer = Trainer(cfg, wd.spec())
 
     if args.resume:
-        trainer.ppo_state, start = restore_checkpoint(
-            args.resume, trainer.ppo_state)
-        print(f"resumed from {args.resume} @ epoch {start}")
+        # elastic restart: '--resume auto' continues from this run dir's
+        # latest checkpoint if one exists (fresh start otherwise)
+        resume_dir = (os.path.join(run_dir, "ckpt")
+                      if args.resume == "auto" else args.resume)
+        if args.resume != "auto" or os.path.isdir(resume_dir):
+            trainer.ppo_state, start = restore_checkpoint(
+                resume_dir, trainer.ppo_state)
+            print(f"resumed from {resume_dir} @ epoch {start}")
     elif args.bc_steps:
         from rvo3d_tpu.algo.bc import bc_pretrain
 

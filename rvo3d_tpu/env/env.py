@@ -16,7 +16,7 @@ second axis added by vmap. Everything is static-shape and jit-safe.
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple, Tuple
 
 import jax
@@ -272,10 +272,6 @@ class DroneEnv:
         self.params = params
         self.num_envs = num_envs
         self.dtype = dtype
-
-        p = params
-        self._step1 = functools.partial(step, p=p)
-        self._observe1 = functools.partial(observe, p=p)
 
     # ---- single-env (unbatched) API ----
     def reset1(self) -> Tuple[DroneState, StepOutput]:
