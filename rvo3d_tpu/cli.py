@@ -122,6 +122,49 @@ def cmd_train(args) -> int:
     def save(epoch, state):
         save_checkpoint(ckpt_dir, epoch, state, cfg)
 
+    # goal-threshold curriculum: "--curriculum 1.2:80,0.8:80,0.4:rest"
+    # experiences arrivals early at a fat threshold, then tightens to the
+    # reference's 0.4 — each stage recompiles once and reuses the PPO state.
+    if args.curriculum:
+        import dataclasses as _dc
+
+        stages = []
+        for part in args.curriculum.split(","):
+            thr, eps = part.split(":")
+            stages.append((float(thr), None if eps == "rest" else int(eps)))
+        logger = JSONLLogger(os.path.join(run_dir, "train.jsonl"),
+                             echo=not args.quiet)
+        ckpt_dir = os.path.join(run_dir, "ckpt")
+        done_epochs = 0
+        state = trainer.ppo_state
+        for thr, eps in stages:
+            remaining = (args.train_epoch - done_epochs
+                         if eps is None else eps)
+            if remaining <= 0:
+                break
+            cfg_stage = cfg.replace(env=_dc.replace(cfg.env,
+                                                    goal_threshold=thr))
+            trainer = Trainer(cfg_stage, wd.spec())
+            trainer.ppo_state = state
+            print(f"curriculum stage: goal_threshold={thr} for "
+                  f"{remaining} epochs")
+
+            def log_stage(m, base=done_epochs, thr=thr):
+                m["epoch"] = base + m["epoch"]
+                m["goal_threshold"] = thr
+                logger.log(m)
+
+            trainer.train(epochs=remaining - 1, log_fn=log_stage,
+                          checkpoint_fn=lambda e, s: save_checkpoint(
+                              ckpt_dir, done_epochs + e, s, cfg_stage))
+            state = trainer.ppo_state
+            done_epochs += remaining
+        write_reward_csv(os.path.join(run_dir, "reward_curves.csv"),
+                         logger.read())
+        plot_reward_curves(os.path.join(run_dir, "train.jsonl"),
+                           os.path.join(run_dir, "reward_curves.png"))
+        return 0
+
     eval_fn = None
     if args.eval_every:
         from rvo3d_tpu.algo.evaluator import evaluate
@@ -340,6 +383,8 @@ def main(argv=None) -> int:
     t.add_argument("--quiet", action="store_true")
     t.add_argument("--eval_every", type=int, default=0,
                    help="run evaluation every N epochs (0 = off)")
+    t.add_argument("--curriculum", default=None,
+                   help="goal-threshold schedule, e.g. '1.2:80,0.8:80,0.4:rest'")
     t.add_argument("--eval_episodes", type=int, default=40)
     t.set_defaults(fn=cmd_train)
 
