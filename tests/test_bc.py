@@ -1,0 +1,57 @@
+"""Behavior-cloning warm start: demo collection shapes, loss reduction,
+and that the cloned policy actually moves (escapes the brake attractor)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rvo3d_tpu.algo.bc import bc_pretrain, collect_demos
+from rvo3d_tpu.config import EnvParams, ModelConfig
+from rvo3d_tpu.models import ActorCritic
+from rvo3d_tpu.env.state import make_world_spec
+
+
+@pytest.fixture(scope="module")
+def world():
+    wps = [
+        [[1.0, 5.0, 2.0], [8.0, 5.0, 2.5]],
+        [[8.0, 6.0, 2.0], [1.0, 6.0, 2.5]],
+    ]
+    return make_world_spec(wps, [], [10, 10, 5])
+
+
+def test_collect_demos_shapes(world):
+    p = EnvParams(num_drones=2)
+    os_, on_, om_, tg_ = collect_demos(world, p, num_envs=3, steps=5,
+                                       key=jax.random.PRNGKey(0),
+                                       action_mode="direct")
+    assert os_.shape == (30, 12)
+    assert on_.shape == (30, 10, 9)
+    assert om_.shape == (30, 10)
+    assert tg_.shape == (30, 3)
+    assert np.all(np.abs(np.asarray(tg_)) <= 0.999)
+
+
+@pytest.mark.parametrize("mode", ["direct", "increment"])
+def test_bc_reduces_loss_and_moves(world, mode):
+    p = EnvParams(num_drones=2)
+    ac = ActorCritic(ModelConfig(rnn_hidden_dim=16, hidden_sizes_ac=(16, 16),
+                                 hidden_sizes_v=(16, 16)))
+    params0 = ac.init(jax.random.PRNGKey(0), jnp.zeros((1, 12)),
+                      jnp.zeros((1, 10, 9)), jnp.zeros((1, 10), bool))
+    params, loss = bc_pretrain(ac, params0, world, p,
+                               jax.random.PRNGKey(1), num_envs=4,
+                               demo_steps=30, train_steps=200, batch=256,
+                               action_mode=mode)
+    assert loss < 0.1, f"BC loss did not converge in {mode}: {loss}"
+
+    # the cloned policy commands positive acceleration from rest (the tiny
+    # test model underfits the rare rest state, so only the sign is stable)
+    from rvo3d_tpu.env.env import DroneEnv
+
+    env = DroneEnv(world, p)
+    s, out = env.reset1()
+    mu, _, _ = ac.apply(params, out.obs_self, out.obs_nbr, out.obs_mask)
+    assert float(mu[0, 0]) > 0.0, f"no acceleration from rest: {mu[0]}"
