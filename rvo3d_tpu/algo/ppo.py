@@ -96,7 +96,9 @@ def pi_loss_fn(ac: ActorCritic, params, batch: AgentData, clip_ratio: float,
     adv = batch.adv
     if adv_norm:
         adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
-    ratio = jnp.exp(logp - batch.logp)
+    # clamp the log-ratio: exp of an unbounded difference overflows to inf
+    # and poisons the update (values past e^20 are pathological regardless)
+    ratio = jnp.exp(jnp.clip(logp - batch.logp, -20.0, 20.0))
     clip_adv = jnp.clip(ratio, 1 - clip_ratio, 1 + clip_ratio) * adv
     loss = -jnp.mean(jnp.minimum(ratio * adv, clip_adv))
     if ent_coef:

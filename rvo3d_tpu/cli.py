@@ -38,7 +38,8 @@ def _build_cfg(args) -> "Config":
                     neighbor_num=args.neighbors_num,
                     mov_p_dest=args.p_dest,
                     mov_p_way=args.p_way,
-                    mov_p_progress=args.p_progress)
+                    mov_p_progress=args.p_progress,
+                    safe_rewards=not args.unsafe_rewards)
     model = ModelConfig(rnn_hidden_dim=args.rnn_hidden_dim,
                         rnn_mode=args.rnn_mode,
                         log_std_init=args.log_std_init,
@@ -371,6 +372,9 @@ def main(argv=None) -> int:
     t.add_argument("--adv_norm", action="store_true",
                    help="standardize advantages (extension; off = reference)")
     t.add_argument("--ent_coef", type=float, default=0.0)
+    t.add_argument("--unsafe_rewards", action="store_true",
+                   help="reproduce the reference's unguarded inf reward "
+                        "(parity experiments only; NaN-poisons training)")
     t.add_argument("--action_mode", default="increment",
                    choices=["increment", "direct"],
                    help="'increment' = reference velocity-anchored mapping; "

@@ -61,6 +61,11 @@ class EnvParams:
     # shaping: + p_progress * (per-step distance gained toward the active
     # waypoint). 0.0 = reference-faithful off.
     mov_p_progress: float = 0.0
+    # guard the reference's unguarded division 0.2*|a|/|des_vel|
+    # (ir_gym.py:88): an arrived drone has des_vel = 0, making its reward
+    # inf, which NaN-poisons GAE/advantage normalization. False = parity
+    # (reproduce the inf); True = clamp the denominator and the total.
+    safe_rewards: bool = False
     # parity: replicate the reference's pervasive decimal rounding
     # (np.round(obs,2) ir_gym.py:229, round(reward,3) ir_gym.py:133/:311,
     #  round(des_vel,3) drone.py:207, round(alpha,2)/round(beta,2) vel_obs3D.py)

@@ -45,7 +45,10 @@ def rvo_reward(states: jnp.ndarray, actions: jnp.ndarray,
     info = vo_reward_info(states, actions, p, others)
 
     des_vel = geo.rnd(states[:, 8:11], 3, p.parity_rounding)
-    vel_penalty = 0.2 * geo.norm3(actions) / geo.norm3(des_vel)
+    denom = geo.norm3(des_vel)
+    if p.safe_rewards:
+        denom = jnp.maximum(denom, 1e-6)
+    vel_penalty = 0.2 * geo.norm3(actions) / denom
 
     angle = geo.angle_between_eps(des_vel, actions)
     angle_punish = angle_bucket_bonus(angle)
@@ -58,6 +61,8 @@ def rvo_reward(states: jnp.ndarray, actions: jnp.ndarray,
     safety = jnp.where(info.vo_flag, p.rvo_p_base + urgency, 0.0)
 
     total = angle_punish + vel_penalty + safety
+    if p.safe_rewards:
+        total = jnp.clip(total, -100.0, 100.0)
     return geo.rnd(total, 3, p.parity_rounding)
 
 

@@ -134,3 +134,29 @@ def test_evaluator_smoke(tiny_cfg, reference_worlds_available):
     assert m["episodes"] >= 1
     assert 0.0 <= m["success_rate"] <= 1.0
     assert np.isfinite(m["mean_speed"])
+
+
+def test_safe_rewards_guard():
+    """An arrived drone (des_vel = 0) yields inf reward in parity mode and
+    a finite one with safe_rewards (the NaN-poisoning guard)."""
+    import dataclasses
+
+    from rvo3d_tpu.env.env import reset
+    from rvo3d_tpu.env.reward import rvo_reward
+    from rvo3d_tpu.env.state import make_world_spec
+
+    world = make_world_spec([[[1.0, 5.0, 2.0], [5.0, 5.0, 2.0]]], [],
+                            [10, 10, 5])
+    p0 = EnvParams(num_drones=1)
+    state = reset(world, p0)
+    # 12-D state with des_vel = 0 (drone inside the goal threshold)
+    states12 = jnp.array([[5.0, 5.0, 2.0, 0.1, 0, 0, 0.2, 5.0,
+                           0.0, 0.0, 0.0, 0.0]])
+    act = jnp.array([[0.5, 0.1, 0.0]])
+    r_parity = rvo_reward(states12, act, p0)
+    assert np.isinf(np.asarray(r_parity)[0])
+
+    p_safe = dataclasses.replace(p0, safe_rewards=True)
+    r_safe = rvo_reward(states12, act, p_safe)
+    assert np.isfinite(np.asarray(r_safe)[0])
+    assert abs(float(r_safe[0])) <= 100.01  # f32 round-off after clip
