@@ -434,7 +434,8 @@ def main(argv=None) -> int:
 
     pa = sub.add_parser("parity", help="fixed-seed parity check vs the oracle")
     pa.add_argument("--worlds", nargs="+",
-                    default=["world_2", "world_3", "world_8"])
+                    default=["world_2", "world_2_cross", "world_3", "world_4",
+                             "world_8"])
     pa.add_argument("--steps", type=int, default=200)
     pa.add_argument("--seed", type=int, default=7)
     pa.add_argument("--x64", action="store_true",

@@ -101,4 +101,5 @@ def run_parity(worlds: List[str], steps: int = 200, x64: bool = False,
 
 
 if __name__ == "__main__":
-    sys.exit(run_parity(["world_2", "world_3", "world_8"], x64="--x64" in sys.argv))
+    sys.exit(run_parity(["world_2", "world_2_cross", "world_3", "world_4", "world_8"],
+                        x64="--x64" in sys.argv))

@@ -16,7 +16,7 @@ from rvo3d_tpu.env.env import DroneEnv, observe, reset, step
 from rvo3d_tpu.env.oracle import OracleEnv
 from rvo3d_tpu.worlds import load_world
 
-WORLDS = ["world_2", "world_3", "world_8"]
+WORLDS = ["world_2", "world_3", "world_4", "world_8", "world_2_cross"]
 
 
 def make_actions(rng, n, scale=1.0):
