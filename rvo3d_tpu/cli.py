@@ -139,8 +139,8 @@ def cmd_train(args) -> int:
         done_epochs = 0
         state = trainer.ppo_state
         for thr, eps in stages:
-            remaining = (args.train_epoch - done_epochs
-                         if eps is None else eps)
+            budget = args.train_epoch - done_epochs
+            remaining = budget if eps is None else min(eps, budget)
             if remaining <= 0:
                 break
             cfg_stage = cfg.replace(env=_dc.replace(cfg.env,
