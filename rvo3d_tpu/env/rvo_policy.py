@@ -56,8 +56,18 @@ def _cone_blocked(pos, vel_cand, paa, rel, alpha, valid, delta_t):
 
 def rvo_velocity(world: WorldSpec, state: DroneState, p: EnvParams,
                  spacing: float = 0.25, min_speed: float = 0.0,
-                 vmax: float = 1.0) -> jnp.ndarray:
-    """Choose per-drone collision-free velocities [N, 3]."""
+                 vmax: float = 1.0, margin: float | None = None) -> jnp.ndarray:
+    """Choose per-drone collision-free velocities [N, 3].
+
+    Beyond the reference's cone test (which is continuous-time), candidates
+    are also screened by the environment's actual collision rule — the
+    DISCRETE endpoint distance after one dt (env_drones.py:65-79 checks
+    post-step positions only). With dt=1 the two differ materially: a
+    continuously-safe velocity pair can still sample endpoints within
+    r_sum, and vice versa. `margin` (default p.exp_radius) inflates radii
+    in both tests to absorb the neighbor's replanning."""
+    if margin is None:
+        margin = p.exp_radius
     states12, _ = drone_states_12(world, state, p)
     others = _vo_others(world, state, states12)
     if others is None:
@@ -78,7 +88,8 @@ def rvo_velocity(world: WorldSpec, state: DroneState, p: EnvParams,
     pos_equal = jnp.all(pos[:, None, :] == o_pos[None, :, :], axis=-1)
     valid = (~pos_equal) & (dis <= p.drone_range) & (dis > r_sum)
 
-    alpha = geo.cone_alpha(dis, r_sum, parity_round=False)
+    r_safe = jnp.minimum(r_sum + margin, dis - 1e-3)  # keep asin in range
+    alpha = geo.cone_alpha(dis, r_safe, parity_round=False)
     paa = geo.reciprocal_apex(
         pos[:, None, :],
         jnp.broadcast_to(prio[:, None], dis.shape),
@@ -100,6 +111,16 @@ def rvo_velocity(world: WorldSpec, state: DroneState, p: EnvParams,
             (future < radius_i) | (future > world.map_size[None, :] - radius_i),
             axis=-1,
         )
+        # discrete endpoint screen: next-step separation under constant
+        # neighbor velocity must clear the inflated radius (the env checks
+        # exactly this distance, at margin=0)
+        end_rel = (rel_i[None, :, :]
+                   + (o_vel[None, :, :] - cands[:, None, :]) * p.dt)
+        end_close = jnp.any(
+            (geo.norm3(end_rel) <= radius_i + o_r[None, :] + margin)
+            & valid_i[None, :], axis=-1)             # [C]
+        blocked = blocked | end_close
+
         dist_to_des = geo.norm3(cands - des_i[None, :])
         feasible = (~blocked) & cand_ok & (~oob)
         any_feasible = jnp.any(feasible)
@@ -116,7 +137,8 @@ def rvo_velocity(world: WorldSpec, state: DroneState, p: EnvParams,
         )
         t_exp = jnp.where(valid_i[None, :], t_exp, jnp.inf)
         t_min = jnp.min(t_exp, axis=-1)
-        penalty = 1.0 / (t_min + 0.2) + dist_to_des
+        penalty = (1.0 / (t_min + 0.2) + dist_to_des
+                   + jnp.where(end_close, 10.0, 0.0))
         cost_pen = jnp.where(cand_ok & (~oob), penalty, jnp.inf)
 
         idx = jnp.where(any_feasible, jnp.argmin(cost_feas),
