@@ -65,6 +65,18 @@ def make_train_epoch(ac: ActorCritic, world: WorldSpec, cfg: Config,
     return train_epoch
 
 
+def metrics_finite(metrics: Dict[str, Any]) -> bool:
+    """True iff the epoch's learner-health scalars are all finite.
+
+    The reference has no failure detection: its unguarded reward can go
+    inf (ir_gym.py:77 divides by a zero desired velocity) and silently
+    NaN-poison the optimizer state for the rest of the run. Here the
+    trainer watches mean step reward and per-agent losses each epoch."""
+    vals = [metrics["mean_step_reward"]]
+    vals += list(metrics["pi_loss"]) + list(metrics["v_loss"])
+    return bool(np.all(np.isfinite(np.asarray(vals, dtype=np.float64))))
+
+
 class Trainer:
     """End-to-end training driver (reference: train/train_process.py)."""
 
@@ -144,9 +156,26 @@ class Trainer:
         in a thread on a second env; here it's a jitted function sharing
         the device, so it runs inline)."""
         epochs = epochs if epochs is not None else self.cfg.train.train_epoch
+        last_good = (self.ppo_state, self.carry)
         for epoch in range(epochs + 1):
             metrics = self.run_epoch()
             metrics["epoch"] = epoch
+            if not metrics_finite(metrics):
+                # Failure detection (no reference analogue — its NaN runs
+                # continue silently): roll back to the last finite epoch,
+                # persist a rescue checkpoint, halt loudly.
+                metrics["non_finite_halt"] = True
+                log_fn(metrics)
+                self.ppo_state, self.carry = last_good
+                if checkpoint_fn:
+                    checkpoint_fn(epoch, self.ppo_state)
+                log_fn({
+                    "epoch": epoch, "halted": "non-finite metrics",
+                    "restored_to_last_finite_epoch": True,
+                    "rescue_checkpoint_saved": checkpoint_fn is not None,
+                })
+                return
+            last_good = (self.ppo_state, self.carry)
             log_fn(metrics)
             if checkpoint_fn and (
                 epoch % self.cfg.train.save_freq == 0 or epoch == epochs

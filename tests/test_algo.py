@@ -160,3 +160,49 @@ def test_safe_rewards_guard():
     r_safe = rvo_reward(states12, act, p_safe)
     assert np.isfinite(np.asarray(r_safe)[0])
     assert abs(float(r_safe[0])) <= 100.01  # f32 round-off after clip
+
+
+def test_trainer_halts_on_non_finite_metrics(tiny_cfg, reference_worlds_available):
+    """Failure detection: a NaN epoch rolls the trainer back to the last
+    finite state, saves a rescue checkpoint, and stops the run (the
+    reference has no such guard — its inf reward silently poisons the
+    optimizer for the rest of training)."""
+    if not reference_worlds_available:
+        pytest.skip("reference world fixtures not present")
+    from rvo3d_tpu.algo.trainer import metrics_finite
+
+    wd = load_world("world_3")
+    trainer = Trainer(tiny_cfg, wd.spec())
+
+    good = trainer.run_epoch()
+    assert metrics_finite(good)
+    good_params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), trainer.ppo_state.params)
+
+    calls = {"n": 0}
+    real_run_epoch = trainer.run_epoch
+
+    def poisoned_run_epoch():
+        calls["n"] += 1
+        m = real_run_epoch()
+        if calls["n"] >= 2:
+            m["pi_loss"] = [float("nan")] * len(m["pi_loss"])
+        return m
+
+    trainer.run_epoch = poisoned_run_epoch
+
+    logs = []
+    ckpts = []
+    trainer.train(epochs=10, log_fn=logs.append,
+                  checkpoint_fn=lambda e, s: ckpts.append((e, s)))
+
+    # stopped at the poisoned epoch, not after 11 epochs
+    assert calls["n"] == 2
+    assert any(m.get("non_finite_halt") for m in logs)
+    assert any("halted" in m for m in logs)
+    # rescue checkpoint saved, holding the rolled-back (finite) state
+    assert len(ckpts) >= 1
+    rescued = ckpts[-1][1].params
+    for a, b in zip(jax.tree_util.tree_leaves(rescued),
+                    jax.tree_util.tree_leaves(good_params)):
+        assert np.all(np.isfinite(np.asarray(a)))
