@@ -96,3 +96,30 @@ def mov_reward(collision: jnp.ndarray, arrive_reward_flag: jnp.ndarray,
 
     total = geo.rnd(way + dest + dev_pen + exlen_pen, 3, p.parity_rounding)
     return jnp.where(collision, p.mov_collision, total)
+
+
+def osc_reward(vel_hist: jnp.ndarray, parity_rounding: bool = True) -> jnp.ndarray:
+    """Oscillation penalty (reference: ir_gym.osc_reward, ir_gym.py:313-332
+    — defined but never called; kept here as the same dormant extension,
+    vectorized over the agent axis so it can run on rollout buffers).
+
+    vel_hist: [T, N, 3] recent velocities (the reference passes a list of
+    12-D states and reads state[3:6]). Per agent: angle change between
+    consecutive velocity pairs (the shadowing epsilon-protected angle fn,
+    ir_gym.py:447-473), wrapped and rounded to 2 decimals; a
+    sign-alternating (+,-,+ / -,+,-) triple among consecutive changes
+    (the reference scans j in range(len-3), skipping the final triple —
+    replicated) earns -10, else 0. Returns [N]."""
+    T = vel_hist.shape[0]
+    zeros = jnp.zeros(vel_hist.shape[1], vel_hist.dtype)
+    if T < 3:
+        return zeros
+    ang = geo.angle_between_eps(vel_hist[1:], vel_hist[:-1])   # [T-1, N]
+    dif = geo.wraptopi(ang[1:] - ang[:-1])                     # [T-2, N]
+    dif = geo.rnd(dif, 2, parity_rounding)
+    L = dif.shape[0]
+    if L < 4:
+        return zeros
+    a, b, c = dif[: L - 3], dif[1 : L - 2], dif[2 : L - 1]
+    osc = ((a > 0) & (b < 0) & (c > 0)) | ((a < 0) & (b > 0) & (c < 0))
+    return jnp.where(jnp.any(osc, axis=0), -10.0, 0.0).astype(vel_hist.dtype)

@@ -132,3 +132,62 @@ def test_polyline_length_padded():
     wps = jnp.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0], [1, 1, 0]])
     # n_points=3 -> length 2 regardless of padding
     assert float(geo.polyline_length(wps, 3)) == pytest.approx(2.0)
+
+
+def test_osc_reward_matches_reference_transliteration():
+    """osc_reward vs a NumPy transliteration of ir_gym.osc_reward
+    (ir_gym.py:313-332 with the shadowing angle fn :447-473)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from math import sqrt, acos, pi
+    from rvo3d_tpu.env.reward import osc_reward
+
+    def ref_angle(A, B):
+        eps = 1e-8
+        mag_A = sqrt(A[0]**2 + A[1]**2 + A[2]**2 + eps)
+        mag_B = sqrt(B[0]**2 + B[1]**2 + B[2]**2 + eps)
+        dot = A[0]*B[0] + A[1]*B[1] + A[2]*B[2]
+        if mag_A < 1e-6 or mag_B < 1e-6:
+            return 0.0
+        return acos(np.clip(dot / (mag_A * mag_B), -1.0 + eps, 1.0 - eps))
+
+    def ref_wraptopi(t):
+        if t > pi:
+            t -= 2 * pi
+        if t < -pi:
+            t += 2 * pi
+        return t
+
+    def ref_osc(vels):
+        if len(vels) < 3:
+            return 0
+        dif = []
+        for i in range(1, len(vels) - 1):
+            a1 = ref_angle(vels[i + 1], vels[i])
+            a2 = ref_angle(vels[i], vels[i - 1])
+            dif.append(round(ref_wraptopi(a1 - a2), 2))
+        for j in range(len(dif) - 3):
+            if (dif[j] > 0 and dif[j+1] < 0 and dif[j+2] > 0) or \
+               (dif[j] < 0 and dif[j+1] > 0 and dif[j+2] < 0):
+                return -10
+        return 0
+
+    rng = np.random.default_rng(3)
+    # random trajectories + a hand-built oscillator + a straight cruiser
+    trajs = [rng.standard_normal((T, 3)) for T in (2, 3, 5, 8, 12) for _ in range(8)]
+    osc = np.array([[np.cos(0.8 * t * (-1) ** t), np.sin(0.8 * t * (-1) ** t), 0.0]
+                    for t in range(10)])
+    straight = np.tile(np.array([1.0, 0.0, 0.0]), (10, 1))
+    trajs += [osc, straight, np.zeros((10, 3))]
+
+    by_len = {}
+    for tr in trajs:
+        by_len.setdefault(len(tr), []).append(tr)
+    saw_penalty = False
+    for T, group in by_len.items():
+        batch = np.stack(group, axis=1)                      # [T, N, 3]
+        got = np.asarray(osc_reward(jnp.asarray(batch)))
+        want = np.array([ref_osc(list(tr)) for tr in group], dtype=got.dtype)
+        np.testing.assert_array_equal(got, want)
+        saw_penalty |= bool((want == -10).any())
+    assert saw_penalty, "fixture never triggered the oscillation branch"
