@@ -203,6 +203,11 @@ def cmd_eval(args) -> int:
 
     wd = load_world(args.world)
     env_p = EnvParams(num_drones=wd.drone_num)
+    if args.goal_threshold is not None:
+        # score a mid-curriculum policy at its trained arrival threshold
+        import dataclasses
+
+        env_p = dataclasses.replace(env_p, goal_threshold=args.goal_threshold)
 
     if args.torch_checkpoint:
         from rvo3d_tpu.utils.torch_import import load_reference_policy
@@ -403,6 +408,9 @@ def main(argv=None) -> int:
     e.add_argument("--max_ep_len", type=int, default=150)
     e.add_argument("--acceler_vel", type=float, default=1.0)
     e.add_argument("--std_factor", type=float, default=1e-3)
+    e.add_argument("--goal_threshold", type=float, default=None,
+                   help="override arrival threshold (e.g. to score a "
+                        "mid-curriculum checkpoint at its trained stage)")
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--results_file", default=None)
     e.add_argument("--action_mode", default="increment",
