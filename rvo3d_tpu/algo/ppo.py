@@ -50,6 +50,7 @@ class AgentData(NamedTuple):
     adv: jnp.ndarray
     ret: jnp.ndarray
     logp: jnp.ndarray
+    val: jnp.ndarray  # rollout value estimate (for optional value clipping)
 
 
 class UpdateMetrics(NamedTuple):
@@ -109,9 +110,17 @@ def pi_loss_fn(ac: ActorCritic, params, batch: AgentData, clip_ratio: float,
     return loss, (kl, jnp.mean(clipped.astype(jnp.float32)))
 
 
-def v_loss_fn(ac: ActorCritic, params, batch: AgentData):
+def v_loss_fn(ac: ActorCritic, params, batch: AgentData,
+              value_clip: float = 0.0):
     v = ac.apply(params, batch.obs_self, batch.obs_nbr, batch.obs_mask,
                  method=ActorCritic.value)
+    if value_clip > 0.0:
+        # PPO2-style clipped value loss: the new prediction may not move
+        # more than value_clip from the rollout estimate per update phase
+        # (tames the raw-MSE v_loss blowups the reference exhibits).
+        v_clip = batch.val + jnp.clip(v - batch.val, -value_clip, value_clip)
+        return jnp.mean(jnp.maximum((v - batch.ret) ** 2,
+                                    (v_clip - batch.ret) ** 2))
     return jnp.mean((v - batch.ret) ** 2)
 
 
@@ -121,6 +130,11 @@ def update_one_agent(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
     pi_grad = jax.value_and_grad(
         functools.partial(pi_loss_fn, ac), has_aux=True)
     v_grad = jax.value_and_grad(functools.partial(v_loss_fn, ac))
+
+    if cfg.fresh_logp:
+        batch = batch._replace(logp=ac.apply(
+            state.params, batch.obs_self, batch.obs_nbr, batch.obs_mask,
+            batch.act, method=ActorCritic.logp))
 
     def pi_cond(c):
         i, _, _, stopped, _, _, _ = c
@@ -147,7 +161,7 @@ def update_one_agent(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
 
     def v_body(_, c):
         params, opt, _ = c
-        loss, grads = v_grad(params, batch)
+        loss, grads = v_grad(params, batch, cfg.value_clip)
         updates, new_opt = vf_tx.update(grads, opt, params)
         return (optax.apply_updates(params, updates), new_opt, loss)
 
@@ -162,7 +176,20 @@ def ppo_update(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
                state: PPOState, data, key) -> Tuple[PPOState, UpdateMetrics]:
     """data: AgentData with leaves [T, E, N, ...]. Shuffled agent order,
     first max_update_num agents updated sequentially (shared Adam moments
-    carry across agents, like the single torch optimizer instances)."""
+    carry across agents, like the single torch optimizer instances).
+
+    cfg.batched_update flattens all agents into ONE joint batch and runs a
+    single policy/value phase — same losses, ~N x fewer GRU passes at N x
+    the batch size (MXU-friendly fast path)."""
+    if cfg.batched_update:
+        batch = AgentData(
+            *[x.reshape((-1,) + x.shape[3:]) for x in data])
+        state, (pl, vl, kl, it) = update_one_agent(
+            ac, cfg, pi_tx, vf_tx, state, batch)
+        return state, UpdateMetrics(
+            pi_loss=pl[None], v_loss=vl[None], kl=kl[None],
+            pi_iters=it[None])
+
     n_agents = data.act.shape[2]
     n_upd = min(cfg.max_update_num, n_agents)
     perm = jax.random.permutation(key, n_agents)

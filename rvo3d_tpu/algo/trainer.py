@@ -51,7 +51,7 @@ def make_train_epoch(ac: ActorCritic, world: WorldSpec, cfg: Config,
         data = AgentData(
             obs_self=batch.obs_self, obs_nbr=batch.obs_nbr,
             obs_mask=batch.obs_mask, act=batch.act,
-            adv=adv, ret=ret, logp=batch.logp,
+            adv=adv, ret=ret, logp=batch.logp, val=batch.val,
         )
         ppo_state, upd = ppo_update(ac, tr, pi_tx, vf_tx, ppo_state, data, key)
 
@@ -73,7 +73,8 @@ def metrics_finite(metrics: Dict[str, Any]) -> bool:
     NaN-poison the optimizer state for the rest of the run. Here the
     trainer watches mean step reward and per-agent losses each epoch."""
     vals = [metrics["mean_step_reward"]]
-    vals += list(metrics["pi_loss"]) + list(metrics["v_loss"])
+    vals += (list(metrics["pi_loss"]) + list(metrics["v_loss"])
+             + list(metrics["kl"]))
     return bool(np.all(np.isfinite(np.asarray(vals, dtype=np.float64))))
 
 
@@ -146,6 +147,13 @@ class Trainer:
             "kl": np.asarray(out.update_metrics.kl).tolist(),
             "pi_iters": np.asarray(out.update_metrics.pi_iters).tolist(),
         }
+        # learner-health alarm: an agent whose FIRST-iteration KL already
+        # exceeds target_kl (stale rollout logp after earlier agents moved
+        # the shared encoder) silently loses its entire policy update —
+        # observed live in round 1 (pi_iters: [50, 0]). Surface it.
+        stalled = int(np.sum(np.asarray(out.update_metrics.pi_iters) == 0))
+        if stalled:
+            metrics["pi_stalled_agents"] = stalled
         return metrics
 
     def train(self, epochs: Optional[int] = None, log_fn=print,
@@ -156,26 +164,27 @@ class Trainer:
         in a thread on a second env; here it's a jitted function sharing
         the device, so it runs inline)."""
         epochs = epochs if epochs is not None else self.cfg.train.train_epoch
-        last_good = (self.ppo_state, self.carry)
+        last_good = (-1, self.ppo_state, self.carry)
         for epoch in range(epochs + 1):
             metrics = self.run_epoch()
             metrics["epoch"] = epoch
             if not metrics_finite(metrics):
                 # Failure detection (no reference analogue — its NaN runs
                 # continue silently): roll back to the last finite epoch,
-                # persist a rescue checkpoint, halt loudly.
+                # persist a rescue checkpoint UNDER THAT EPOCH's index (it
+                # holds that epoch's state, not the failed one's), halt.
                 metrics["non_finite_halt"] = True
                 log_fn(metrics)
-                self.ppo_state, self.carry = last_good
+                good_epoch, self.ppo_state, self.carry = last_good
                 if checkpoint_fn:
-                    checkpoint_fn(epoch, self.ppo_state)
+                    checkpoint_fn(max(good_epoch, 0), self.ppo_state)
                 log_fn({
                     "epoch": epoch, "halted": "non-finite metrics",
-                    "restored_to_last_finite_epoch": True,
+                    "restored_to_epoch": good_epoch,
                     "rescue_checkpoint_saved": checkpoint_fn is not None,
                 })
                 return
-            last_good = (self.ppo_state, self.carry)
+            last_good = (epoch, self.ppo_state, self.carry)
             log_fn(metrics)
             if checkpoint_fn and (
                 epoch % self.cfg.train.save_freq == 0 or epoch == epochs

@@ -52,7 +52,8 @@ def _build_cfg(args) -> "Config":
         target_kl=args.target_kl, max_update_num=args.max_update_num,
         seed=args.seed, save_freq=args.save_freq, num_envs=args.num_envs,
         adv_norm=args.adv_norm, ent_coef=args.ent_coef,
-        action_mode=args.action_mode,
+        action_mode=args.action_mode, fresh_logp=args.fresh_logp,
+        value_clip=args.value_clip, batched_update=args.batched_update,
     )
     return Config(env=env, model=model, train=train,
                   mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
@@ -377,6 +378,15 @@ def main(argv=None) -> int:
     t.add_argument("--adv_norm", action="store_true",
                    help="standardize advantages (extension; off = reference)")
     t.add_argument("--ent_coef", type=float, default=0.0)
+    t.add_argument("--fresh_logp", action="store_true",
+                   help="recompute behavior logp under current params before "
+                        "each agent's policy phase (fixes the stale-logp "
+                        "pi_iters==0 dropped-update pathology; off = reference)")
+    t.add_argument("--value_clip", type=float, default=0.0,
+                   help="PPO2-style value clipping range (0 = reference MSE)")
+    t.add_argument("--batched_update", action="store_true",
+                   help="fast mode: one joint PPO update over all agents "
+                        "instead of the sequential per-agent schedule")
     t.add_argument("--unsafe_rewards", action="store_true",
                    help="reproduce the reference's unguarded inf reward "
                         "(parity experiments only; NaN-poisons training)")

@@ -120,6 +120,21 @@ class TrainConfig:
     # extensions beyond the reference (off by default = reference-faithful)
     adv_norm: bool = False           # per-agent advantage standardization
     ent_coef: float = 0.0            # entropy bonus coefficient
+    # Recompute the behavior logp under the CURRENT params before each
+    # agent's policy phase. The reference evaluates the stored rollout logp
+    # against params already moved by earlier agents' updates in the same
+    # epoch (multi_ppo.py:343-368 shares one encoder), so a later agent can
+    # see first-iteration KL > target_kl and silently lose its whole update
+    # (observed live: pi_iters == 0). False = reference-faithful.
+    fresh_logp: bool = False
+    # PPO2-style value clipping (|v - v_rollout| <= value_clip in the loss);
+    # 0.0 = reference-faithful plain MSE (multi_ppo.py:379-383).
+    value_clip: float = 0.0
+    # Fast mode: ONE joint update over all agents (flatten [T,E,N] -> [B])
+    # instead of the reference's sequential shuffled per-agent schedule —
+    # ~N x fewer GRU passes at N x the batch, same clipped-surrogate math.
+    # False = reference-faithful sequential schedule.
+    batched_update: bool = False
     # 'increment': the reference trainer's velocity-anchored mapping
     #   abs = acceler*a + vel (multi_ppo.py:202-205) — NOTE this adds the
     #   velocity VECTOR to a [acc, Δyaw, Δpitch] command, which strips the

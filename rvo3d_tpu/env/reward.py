@@ -47,8 +47,18 @@ def rvo_reward(states: jnp.ndarray, actions: jnp.ndarray,
     des_vel = geo.rnd(states[:, 8:11], 3, p.parity_rounding)
     denom = geo.norm3(des_vel)
     if p.safe_rewards:
-        denom = jnp.maximum(denom, 1e-6)
-    vel_penalty = 0.2 * geo.norm3(actions) / denom
+        # An arrived/waypoint-hugging drone has des_vel = 0; the reference's
+        # unguarded division (ir_gym.py:88,129) then yields +inf. Clamping the
+        # denominator (round 1) turned that inf into ~+0.2|a|*1e6, clipped to
+        # +100/step — a reward farm that dominates arrival (+20 once). Zero
+        # the whole term where the reference computes garbage instead.
+        vel_penalty = jnp.where(
+            denom > 0.0,
+            0.2 * geo.norm3(actions) / jnp.maximum(denom, 1e-6),
+            0.0,
+        )
+    else:
+        vel_penalty = 0.2 * geo.norm3(actions) / denom
 
     angle = geo.angle_between_eps(des_vel, actions)
     angle_punish = angle_bucket_bonus(angle)

@@ -159,7 +159,39 @@ def test_safe_rewards_guard():
     p_safe = dataclasses.replace(p0, safe_rewards=True)
     r_safe = rvo_reward(states12, act, p_safe)
     assert np.isfinite(np.asarray(r_safe)[0])
-    assert abs(float(r_safe[0])) <= 100.01  # f32 round-off after clip
+    # the des_vel=0 velocity term must contribute NOTHING (round 1 clamped
+    # the denominator instead, creating a ~+100/step reward farm that
+    # dominated arrival (+20 once) and defeated curriculum training):
+    # what remains is just the angle bucket (|r| <= 4) + safety term (0 here)
+    assert abs(float(r_safe[0])) <= 4.01
+
+
+def test_fast_update_modes(tiny_cfg, reference_worlds_available):
+    """batched_update / fresh_logp / value_clip run and learn: finite
+    metrics, params move, and batched mode reports one joint update."""
+    if not reference_worlds_available:
+        pytest.skip("reference world fixtures not present")
+    import dataclasses
+
+    cfg = tiny_cfg.replace(train=dataclasses.replace(
+        tiny_cfg.train, batched_update=True, fresh_logp=True,
+        value_clip=10.0))
+    wd = load_world("world_3")
+    trainer = Trainer(cfg, wd.spec())
+    before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), trainer.ppo_state.params)
+    m = trainer.run_epoch()
+    assert np.isfinite(m["mean_step_reward"])
+    assert len(m["pi_loss"]) == 1          # one joint update, not per-agent
+    assert all(np.isfinite(m["v_loss"]))
+    # fresh_logp: first-iteration KL is 0 by construction, so the update
+    # can never be dropped before applying at least one step
+    assert m["pi_iters"][0] >= 1
+    changed = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(trainer.ppo_state.params)))
+    assert changed
 
 
 def test_trainer_halts_on_non_finite_metrics(tiny_cfg, reference_worlds_available):
@@ -176,13 +208,17 @@ def test_trainer_halts_on_non_finite_metrics(tiny_cfg, reference_worlds_availabl
 
     good = trainer.run_epoch()
     assert metrics_finite(good)
-    good_params = jax.tree_util.tree_map(
-        lambda x: np.asarray(x).copy(), trainer.ppo_state.params)
 
     calls = {"n": 0}
+    snap = {}
     real_run_epoch = trainer.run_epoch
 
     def poisoned_run_epoch():
+        # the state BEFORE this call is the state the trainer must roll
+        # back to when this call's metrics turn out non-finite
+        if calls["n"] == 1:
+            snap["params"] = jax.tree_util.tree_map(
+                lambda x: np.asarray(x).copy(), trainer.ppo_state.params)
         calls["n"] += 1
         m = real_run_epoch()
         if calls["n"] >= 2:
@@ -200,9 +236,11 @@ def test_trainer_halts_on_non_finite_metrics(tiny_cfg, reference_worlds_availabl
     assert calls["n"] == 2
     assert any(m.get("non_finite_halt") for m in logs)
     assert any("halted" in m for m in logs)
-    # rescue checkpoint saved, holding the rolled-back (finite) state
+    # rescue checkpoint saved under the LAST FINITE epoch index (0), holding
+    # exactly the pre-poison state — not merely any finite params
     assert len(ckpts) >= 1
-    rescued = ckpts[-1][1].params
-    for a, b in zip(jax.tree_util.tree_leaves(rescued),
-                    jax.tree_util.tree_leaves(good_params)):
-        assert np.all(np.isfinite(np.asarray(a)))
+    rescue_epoch, rescue_state = ckpts[-1]
+    assert rescue_epoch == 0
+    for a, b in zip(jax.tree_util.tree_leaves(rescue_state.params),
+                    jax.tree_util.tree_leaves(snap["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
