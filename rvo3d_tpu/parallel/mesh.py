@@ -32,11 +32,11 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
-def maybe_distributed_init() -> None:
+def maybe_distributed_init() -> bool:
     """Multi-host initialization hook (no-op on a single host). On a pod,
-    call before any jax API: coordinator discovery via the standard env
-    vars consumed by jax.distributed.initialize()."""
-    import os
+    jax.distributed self-configures; on CPU fleets / tests the coordinator
+    comes from the RVO3D_* env vars (parallel/multihost.py). Returns True
+    when multi-process."""
+    from rvo3d_tpu.parallel.multihost import distributed_init_from_env
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    return distributed_init_from_env()

@@ -38,8 +38,9 @@ def save_checkpoint(directory: str, epoch: int, ppo_state, cfg: Config) -> None:
     }
     mgr.save(epoch, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
-    with open(os.path.join(directory, "config.json"), "w") as f:
-        json.dump(to_dict(cfg), f, indent=2)
+    if jax.process_index() == 0:  # host-local side file: primary only
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(to_dict(cfg), f, indent=2)
 
 
 def restore_checkpoint(directory: str, ppo_state,
