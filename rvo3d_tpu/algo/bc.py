@@ -33,13 +33,33 @@ from rvo3d_tpu.utils.heuristic import waypoint_controller
 
 def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
                   key: jax.Array, cruise_speed: float = 0.6,
-                  expert: str = "waypoint", action_mode: str = "increment"):
+                  expert: str = "waypoint", action_mode: str = "increment",
+                  explore_std: float = 0.0,
+                  expert_margin: float | None = None,
+                  behavior_fn=None):
     """Roll an analytic expert ('waypoint' = pure tracking, 'rvo' = the
     classic cone-dodging controller); returns (obs_self, obs_nbr, obs_mask,
     target) with leading axis [steps*num_envs*N]. In 'direct' mode the
     target IS the expert command; in 'increment' mode it is the
     velocity-anchored increment and the demo steps with the achievable
-    command (see module docstring)."""
+    command (see module docstring).
+
+    explore_std > 0 executes a NOISED version of the expert command while
+    keeping the CLEAN command as the regression target (DART-style noise
+    injection). Without it, the deterministic env + broadcast reset makes
+    every lane identical, so the dataset collapses to one ~dozen-state
+    trajectory and the clone fails closed-loop the moment it drifts off it
+    (measured: BC loss 6e-4 yet 0% eval success). Because the expert is
+    re-queried at every visited state, this is DAgger with a noise-widened
+    state distribution: each off-path state carries its corrective label.
+
+    expert_margin inflates the RVO expert's cone/endpoint radii (see
+    rvo_policy.rvo_velocity) so demonstrations keep slack the clone's
+    approximation error can spend.
+
+    behavior_fn(obs_self, obs_nbr, obs_mask) -> action mean, if given,
+    DRIVES the rollout (true DAgger: visit the clone's own states) while
+    the expert still provides the labels."""
 
     observe_b = jax.vmap(functools.partial(observe, world, p=p))
     step_b = jax.vmap(functools.partial(step, world, p=p))
@@ -48,7 +68,8 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
     if expert == "rvo":
         from rvo3d_tpu.env.rvo_policy import rvo_controller
 
-        expert_fn = jax.vmap(lambda st: rvo_controller(st, world, p))
+        kw = {} if expert_margin is None else {"margin": expert_margin}
+        expert_fn = jax.vmap(lambda st: rvo_controller(st, world, p, **kw))
     else:
         expert_fn = functools.partial(waypoint_controller, world=world,
                                       cruise_speed=cruise_speed)
@@ -57,23 +78,34 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
     state = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape).copy(), s0)
 
-    def body(state, _):
+    def body(state, k):
         out, state = observe_b(state)
         cmd = expert_fn(state)
         if action_mode == "direct":
             target = jnp.clip(cmd, -0.999, 0.999)
-            abs_eff = target
         else:
             target = jnp.clip((cmd - state.vel) / p.acceler, -0.999, 0.999)
+        if behavior_fn is not None:
+            executed = behavior_fn(out.obs_self, out.obs_nbr, out.obs_mask)
+        else:
+            executed = target
+        if explore_std > 0.0:
+            executed = jnp.clip(
+                executed + explore_std * jax.random.normal(k, target.shape),
+                -1.0, 1.0)
+        if action_mode == "direct":
+            abs_eff = executed
+        else:
             # step with the ACHIEVABLE command (abs = acceler*a + vel can
             # only reach cmd within ±acceler of the velocity vector) so
             # demos are closed-loop consistent with the policy's reach
-            abs_eff = p.acceler * target + state.vel
+            abs_eff = p.acceler * executed + state.vel
         state, o = step_b(state, abs_eff)
         state = reset_b(state, o.done | o.finish)
         return state, (out.obs_self, out.obs_nbr, out.obs_mask, target)
 
-    _, (os_, on_, om_, tg_) = jax.lax.scan(body, state, None, length=steps)
+    _, (os_, on_, om_, tg_) = jax.lax.scan(
+        body, state, jax.random.split(key, steps))
 
     # [T, E, N, ...] -> [T*E*N, ...]
     def fl(x):
@@ -86,36 +118,64 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
                 key: jax.Array, *, num_envs: int = 32, demo_steps: int = 200,
                 train_steps: int = 500, batch: int = 4096, lr: float = 1e-3,
                 cruise_speed: float = 0.6, expert: str = "waypoint",
-                action_mode: str = "increment") -> Tuple[dict, float]:
-    """Returns (pretrained params, final BC loss)."""
-    k_demo, k_train = jax.random.split(key)
-    obs_self, obs_nbr, obs_mask, target = collect_demos(
-        world, p, num_envs, demo_steps, k_demo, cruise_speed, expert,
-        action_mode)
-    n = obs_self.shape[0]
+                action_mode: str = "increment", explore_std: float = 0.0,
+                expert_margin: float | None = None,
+                dagger_rounds: int = 0) -> Tuple[dict, float]:
+    """Behavior cloning with optional DAgger iterations.
 
+    Round 0 rolls the (noised) expert; each DAgger round then rolls the
+    CURRENT clone's mean action (+ the same exploration noise), relabels
+    every visited state with the expert, aggregates the dataset, and
+    refits. This closes the covariate-shift gap that plain BC leaves:
+    the clone trains exactly on the states its own errors reach.
+    Returns (pretrained params, final BC loss on the aggregate set)."""
     tx = optax.adam(lr)
-    opt = tx.init(params)
 
-    def loss_fn(params, idx):
-        mu, _, v = ac.apply(params, obs_self[idx], obs_nbr[idx],
-                            obs_mask[idx])
-        return jnp.mean((mu - target[idx]) ** 2)
+    def fit(params, data, k_train, steps):
+        n = data[0].shape[0]
+        opt = tx.init(params)
 
-    @jax.jit
-    def train(params, opt, key):
-        def body(carry, _):
-            params, opt, key = carry
-            key, k = jax.random.split(key)
-            idx = jax.random.randint(k, (min(batch, n),), 0, n)
-            loss, grads = jax.value_and_grad(loss_fn)(params, idx)
-            updates, opt = tx.update(grads, opt, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt, key), loss
+        def loss_fn(params, data, idx):
+            obs_self, obs_nbr, obs_mask, target = data
+            mu, _, v = ac.apply(params, obs_self[idx], obs_nbr[idx],
+                                obs_mask[idx])
+            return jnp.mean((mu - target[idx]) ** 2)
 
-        (params, opt, _), losses = jax.lax.scan(
-            body, (params, opt, key), None, length=train_steps)
-        return params, losses[-1]
+        @functools.partial(jax.jit, static_argnames="steps")
+        def train(params, opt, data, key, steps):
+            def body(carry, _):
+                params, opt, key = carry
+                key, k = jax.random.split(key)
+                idx = jax.random.randint(k, (min(batch, n),), 0, n)
+                loss, grads = jax.value_and_grad(loss_fn)(params, data, idx)
+                updates, opt = tx.update(grads, opt, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt, key), loss
 
-    params, final_loss = train(params, opt, k_train)
+            (params, opt, _), losses = jax.lax.scan(
+                body, (params, opt, key), None, length=steps)
+            return params, losses[-1]
+
+        return train(params, opt, data, k_train, steps)
+
+    k_demo, k_train, key = jax.random.split(key, 3)
+    data = collect_demos(world, p, num_envs, demo_steps, k_demo,
+                         cruise_speed, expert, action_mode, explore_std,
+                         expert_margin)
+    params, final_loss = fit(params, data, k_train, train_steps)
+
+    for _ in range(dagger_rounds):
+        k_demo, k_train, key = jax.random.split(key, 3)
+        frozen = params
+
+        def behavior_fn(obs_self, obs_nbr, obs_mask):
+            mu, _, _ = ac.apply(frozen, obs_self, obs_nbr, obs_mask)
+            return mu
+
+        new = collect_demos(world, p, num_envs, demo_steps, k_demo,
+                            cruise_speed, expert, action_mode, explore_std,
+                            expert_margin, behavior_fn=behavior_fn)
+        data = tuple(jnp.concatenate([a, b], 0) for a, b in zip(data, new))
+        params, final_loss = fit(params, data, k_train, train_steps)
+
     return params, float(final_loss)

@@ -101,9 +101,13 @@ def cmd_train(args) -> int:
             num_envs=min(cfg.train.num_envs, 32),
             train_steps=args.bc_steps, expert=args.bc_expert,
             action_mode=cfg.train.action_mode,
+            explore_std=args.bc_noise, expert_margin=args.bc_margin,
+            dagger_rounds=args.bc_dagger, demo_steps=args.bc_demo_steps,
         )
         trainer.ppo_state = trainer.ppo_state._replace(params=params)
-        print(f"BC warm start: {args.bc_steps} steps, final loss {bc_loss:.4f}")
+        print(f"BC warm start: {args.bc_steps} steps "
+              f"(dagger={args.bc_dagger}, noise={args.bc_noise}, "
+              f"margin={args.bc_margin}), final loss {bc_loss:.4f}")
 
     n_dev = len(jax.devices())
     if cfg.mesh.data * cfg.mesh.model > 1 or (args.auto_mesh and n_dev > 1):
@@ -161,6 +165,23 @@ def cmd_train(args) -> int:
                               ckpt_dir, done_epochs + e, s, cfg_stage))
             state = trainer.ppo_state
             done_epochs += remaining
+            # end-of-stage eval at the stage threshold AND the final 0.4
+            from rvo3d_tpu.algo.evaluator import evaluate
+
+            for thr_eval in sorted({thr, 0.4}):
+                import dataclasses as _dc2
+
+                p_eval = _dc2.replace(cfg.env, goal_threshold=thr_eval)
+                m = evaluate(trainer.ac, state.params, trainer.world,
+                             p_eval, jax.random.PRNGKey(done_epochs),
+                             num_episodes=args.eval_episodes, num_lanes=8,
+                             action_mode=cfg.train.action_mode)
+                line = (f"stage thr={thr} done (epoch {done_epochs}): "
+                        f"eval@{thr_eval} success {m['success_rate']:.2%} "
+                        f"EpLen {m['mean_ep_len']}±{m['std_ep_len']}")
+                print(line)
+                with open(os.path.join(run_dir, "results.txt"), "a") as f:
+                    f.write(line + "\n")
         write_reward_csv(os.path.join(run_dir, "reward_curves.csv"),
                          logger.read())
         plot_reward_curves(os.path.join(run_dir, "train.jsonl"),
@@ -330,7 +351,8 @@ def cmd_parity(args) -> int:
     from rvo3d_tpu.parity import run_parity
 
     return run_parity(worlds=args.worlds, steps=args.steps, x64=args.x64,
-                      seed=args.seed)
+                      seed=args.seed, env_train=not args.eval_mode,
+                      noise=args.noise)
 
 
 def main(argv=None) -> int:
@@ -375,6 +397,15 @@ def main(argv=None) -> int:
                         "analytic controller before PPO (0 = off)")
     t.add_argument("--bc_expert", default="waypoint",
                    choices=["waypoint", "rvo"])
+    t.add_argument("--bc_dagger", type=int, default=0,
+                   help="DAgger rounds after the initial BC fit (roll the "
+                        "clone, relabel with the expert, refit)")
+    t.add_argument("--bc_noise", type=float, default=0.0,
+                   help="DART exploration noise std on executed demo "
+                        "actions (labels stay clean)")
+    t.add_argument("--bc_margin", type=float, default=None,
+                   help="RVO expert safety-margin inflation for demos")
+    t.add_argument("--bc_demo_steps", type=int, default=200)
     t.add_argument("--adv_norm", action="store_true",
                    help="standardize advantages (extension; off = reference)")
     t.add_argument("--ent_coef", type=float, default=0.0)
@@ -458,6 +489,12 @@ def main(argv=None) -> int:
     pa.add_argument("--seed", type=int, default=7)
     pa.add_argument("--x64", action="store_true",
                     help="enable float64 for bit-exact comparison")
+    pa.add_argument("--eval_mode", action="store_true",
+                    help="env_train=False: the eval-time exp_radius "
+                         "collision branch (rvo_inter.py:139-150)")
+    pa.add_argument("--noise", action="store_true",
+                    help="inject identical control-noise samples into both "
+                         "implementations (drone.py:163)")
     pa.set_defaults(fn=cmd_parity)
 
     args = p.parse_args(argv)
