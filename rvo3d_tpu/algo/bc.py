@@ -77,9 +77,17 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
     s0 = reset(world, p)
     state = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape).copy(), s0)
+    out0, state = observe_b(state)
 
-    def body(state, k):
-        out, state = observe_b(state)
+    def body(carry, k):
+        # `out` is the obs the policy would act on at this step: the
+        # PREVIOUS step's output obs (action-aware VO blocks), refreshed by
+        # observe() only after resets — exactly the rollout/evaluator feed
+        # (algo/rollout.py episode lifecycle; reference multi_ppo.py:210,
+        # 230-242). Training the clone on observe()-only obs (zero-action
+        # VO test) shifts the neighbor-block distribution precisely at the
+        # conflict states the dodge depends on.
+        state, out = carry
         cmd = expert_fn(state)
         if action_mode == "direct":
             target = jnp.clip(cmd, -0.999, 0.999)
@@ -101,11 +109,22 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
             # demos are closed-loop consistent with the policy's reach
             abs_eff = p.acceler * executed + state.vel
         state, o = step_b(state, abs_eff)
-        state = reset_b(state, o.done | o.finish)
-        return state, (out.obs_self, out.obs_nbr, out.obs_mask, target)
+        need = o.done | o.finish
+        state = reset_b(state, need)
+        re_out, state = observe_b(state)
+        any_reset = jnp.any(need, axis=1)
+        nxt = o._replace(
+            obs_self=jnp.where(any_reset[:, None, None], re_out.obs_self,
+                               o.obs_self),
+            obs_nbr=jnp.where(any_reset[:, None, None, None], re_out.obs_nbr,
+                              o.obs_nbr),
+            obs_mask=jnp.where(any_reset[:, None, None], re_out.obs_mask,
+                               o.obs_mask),
+        )
+        return (state, nxt), (out.obs_self, out.obs_nbr, out.obs_mask, target)
 
     _, (os_, on_, om_, tg_) = jax.lax.scan(
-        body, state, jax.random.split(key, steps))
+        body, (state, out0), jax.random.split(key, steps))
 
     # [T, E, N, ...] -> [T*E*N, ...]
     def fl(x):
@@ -120,7 +139,8 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
                 cruise_speed: float = 0.6, expert: str = "waypoint",
                 action_mode: str = "increment", explore_std: float = 0.0,
                 expert_margin: float | None = None,
-                dagger_rounds: int = 0) -> Tuple[dict, float]:
+                dagger_rounds: int = 0,
+                on_round=None) -> Tuple[dict, float]:
     """Behavior cloning with optional DAgger iterations.
 
     Round 0 rolls the (noised) expert; each DAgger round then rolls the
@@ -128,43 +148,56 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
     every visited state with the expert, aggregates the dataset, and
     refits. This closes the covariate-shift gap that plain BC leaves:
     the clone trains exactly on the states its own errors reach.
-    Returns (pretrained params, final BC loss on the aggregate set)."""
-    tx = optax.adam(lr)
+    Returns (pretrained params, final BC loss on the aggregate set).
 
-    def fit(params, data, k_train, steps):
-        n = data[0].shape[0]
+    The aggregate dataset lives in a FIXED-capacity buffer (capacity =
+    (dagger_rounds+1) x one round's yield) with a traced valid-count, so
+    every round reuses one compiled train fn — the naive concatenate-
+    and-refit version recompiles per round (new leading dim), which costs
+    minutes per round on the remote-compile TPU path."""
+    tx = optax.adam(lr)
+    round_n = demo_steps * num_envs * p.num_drones
+    cap = round_n * (dagger_rounds + 1)
+
+    def loss_fn(params, data, idx):
+        obs_self, obs_nbr, obs_mask, target = data
+        mu, _, v = ac.apply(params, obs_self[idx], obs_nbr[idx],
+                            obs_mask[idx])
+        return jnp.mean((mu - target[idx]) ** 2)
+
+    @functools.partial(jax.jit, static_argnames="steps")
+    def fit(params, data, n_valid, key, steps):
         opt = tx.init(params)
 
-        def loss_fn(params, data, idx):
-            obs_self, obs_nbr, obs_mask, target = data
-            mu, _, v = ac.apply(params, obs_self[idx], obs_nbr[idx],
-                                obs_mask[idx])
-            return jnp.mean((mu - target[idx]) ** 2)
+        def body(carry, _):
+            params, opt, key = carry
+            key, k = jax.random.split(key)
+            idx = jax.random.randint(k, (min(batch, cap),), 0, n_valid)
+            loss, grads = jax.value_and_grad(loss_fn)(params, data, idx)
+            updates, opt = tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt, key), loss
 
-        @functools.partial(jax.jit, static_argnames="steps")
-        def train(params, opt, data, key, steps):
-            def body(carry, _):
-                params, opt, key = carry
-                key, k = jax.random.split(key)
-                idx = jax.random.randint(k, (min(batch, n),), 0, n)
-                loss, grads = jax.value_and_grad(loss_fn)(params, data, idx)
-                updates, opt = tx.update(grads, opt, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt, key), loss
+        (params, opt, _), losses = jax.lax.scan(
+            body, (params, opt, key), None, length=steps)
+        return params, losses[-1]
 
-            (params, opt, _), losses = jax.lax.scan(
-                body, (params, opt, key), None, length=steps)
-            return params, losses[-1]
-
-        return train(params, opt, data, k_train, steps)
+    @jax.jit
+    def insert(data, new, n_valid):
+        return (tuple(jax.lax.dynamic_update_slice_in_dim(d, x, n_valid, 0)
+                      for d, x in zip(data, new)), n_valid + round_n)
 
     k_demo, k_train, key = jax.random.split(key, 3)
-    data = collect_demos(world, p, num_envs, demo_steps, k_demo,
-                         cruise_speed, expert, action_mode, explore_std,
-                         expert_margin)
-    params, final_loss = fit(params, data, k_train, train_steps)
+    new = collect_demos(world, p, num_envs, demo_steps, k_demo,
+                        cruise_speed, expert, action_mode, explore_std,
+                        expert_margin)
+    data = tuple(jnp.zeros((cap,) + x.shape[1:], x.dtype) for x in new)
+    data, n_valid = insert(data, new, jnp.int32(0))
+    params, final_loss = fit(params, data, n_valid, k_train, train_steps)
+    if on_round is not None:
+        on_round(0, params, float(final_loss))
 
-    for _ in range(dagger_rounds):
+    for r in range(dagger_rounds):
         k_demo, k_train, key = jax.random.split(key, 3)
         frozen = params
 
@@ -175,7 +208,9 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
         new = collect_demos(world, p, num_envs, demo_steps, k_demo,
                             cruise_speed, expert, action_mode, explore_std,
                             expert_margin, behavior_fn=behavior_fn)
-        data = tuple(jnp.concatenate([a, b], 0) for a, b in zip(data, new))
-        params, final_loss = fit(params, data, k_train, train_steps)
+        data, n_valid = insert(data, new, n_valid)
+        params, final_loss = fit(params, data, n_valid, k_train, train_steps)
+        if on_round is not None:
+            on_round(r + 1, params, float(final_loss))
 
     return params, float(final_loss)

@@ -340,10 +340,18 @@ def cmd_render(args) -> int:
 
     traj = record_trajectory(env, controller, steps=args.steps)
     plotter = ScenePlotter(wd.map_size, wd.building_list, wd.waypoints_list)
-    frames = plotter.render_trajectory(traj, args.out, every=args.every)
+    frames = plotter.render_trajectory(traj, args.out, every=args.every,
+                                       draw_cones=args.cones)
     gif = frames_to_gif(frames, os.path.join(args.out, "episode.gif"))
+    mp4 = None
+    if not args.no_mp4:
+        from rvo3d_tpu.render import frames_to_mp4
+
+        mp4 = frames_to_mp4(frames, os.path.join(args.out, "episode.mp4"))
     plotter.close()
-    print(f"{len(frames)} frames -> {args.out}" + (f", gif: {gif}" if gif else ""))
+    print(f"{len(frames)} frames -> {args.out}"
+          + (f", gif: {gif}" if gif else "")
+          + (f", mp4: {mp4}" if mp4 else ""))
     return 0
 
 
@@ -358,6 +366,9 @@ def cmd_parity(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rvo3d_tpu",
                                 description=__doc__.splitlines()[0])
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the container pins the "
+                        "tunneled TPU; env vars alone don't override it)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("train", help="train a policy")
@@ -471,7 +482,8 @@ def main(argv=None) -> int:
     b = sub.add_parser("bench", help="run the benchmark")
     b.set_defaults(fn=cmd_bench)
 
-    r = sub.add_parser("render", help="render an episode to frames + gif")
+    r = sub.add_parser("render",
+                       help="render an episode to frames + gif + mp4")
     r.add_argument("--world", default="world_3")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--torch_checkpoint", default=None)
@@ -479,6 +491,10 @@ def main(argv=None) -> int:
     r.add_argument("--steps", type=int, default=100)
     r.add_argument("--every", type=int, default=2)
     r.add_argument("--out", default="render_out")
+    r.add_argument("--cones", action="store_true",
+                   help="overlay live VO cones decoded from the logged "
+                        "observation blocks (env_plot.draw_cone analogue)")
+    r.add_argument("--no_mp4", action="store_true")
     r.set_defaults(fn=cmd_render)
 
     pa = sub.add_parser("parity", help="fixed-seed parity check vs the oracle")
@@ -498,6 +514,10 @@ def main(argv=None) -> int:
     pa.set_defaults(fn=cmd_parity)
 
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

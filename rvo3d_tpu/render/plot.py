@@ -25,6 +25,7 @@ def record_trajectory(env, controller, steps: int = 150, reset_done: bool = True
 
     state, out = env.reset1()
     pos, vel, done, finish, rew = [], [], [], [], []
+    obs_nbr, obs_mask = [], []
     from rvo3d_tpu.env.env import reset_where
 
     for _ in range(steps):
@@ -35,12 +36,38 @@ def record_trajectory(env, controller, steps: int = 150, reset_done: bool = True
         done.append(np.asarray(out.done))
         finish.append(np.asarray(out.finish))
         rew.append(np.asarray(out.reward))
+        # post-step VO observation = cones at the drawn positions
+        # (reference feeds live obs to draw_cone, env_plot.py:241-270)
+        obs_nbr.append(np.asarray(out.obs_nbr))
+        obs_mask.append(np.asarray(out.obs_mask))
         if reset_done and bool(out.done.any()):
             state = reset_where(env.world, state, out.done)
     return {
         "pos": np.stack(pos), "vel": np.stack(vel), "done": np.stack(done),
         "finish": np.stack(finish), "reward": np.stack(rew),
+        "obs_nbr": np.stack(obs_nbr), "obs_mask": np.stack(obs_mask),
     }
+
+
+def cones_from_obs(obs_nbr: np.ndarray, obs_mask: np.ndarray):
+    """Extract VO cones for one frame from the logged [N, nm, 9] blocks.
+
+    The normal-branch block is [PAA(3), rel(3), alpha, min_dis, 1/(t+0.2)]
+    (reference: rvo_inter.config_vo_circle2, rvo_inter.py:192): vertex =
+    reciprocal apex PAA, axis = p_b - p_a, half-angle = alpha. Collision /
+    back-off branches zero the alpha slot, so alpha > 0 selects exactly the
+    live cones."""
+    cones = []
+    for i in range(obs_nbr.shape[0]):
+        for m in range(obs_nbr.shape[1]):
+            if not obs_mask[i, m]:
+                continue
+            blk = obs_nbr[i, m]
+            alpha = float(blk[6])
+            if alpha <= 0.0:
+                continue
+            cones.append((blk[0:3], blk[3:6], alpha))
+    return cones
 
 
 def _rotation_matrix(axis: np.ndarray, angle: float) -> np.ndarray:
@@ -168,15 +195,21 @@ class ScenePlotter:
         self.fig.savefig(path, dpi=100)
 
     def render_trajectory(self, traj: dict, out_dir: str, every: int = 1,
-                          trail_len: int = 30) -> List[str]:
-        """Render a record_trajectory() dict to PNG frames; returns paths."""
+                          trail_len: int = 30,
+                          draw_cones: bool = False) -> List[str]:
+        """Render a record_trajectory() dict to PNG frames; returns paths.
+        draw_cones=True overlays the live VO cones decoded from the logged
+        per-step observation blocks (cones_from_obs)."""
         pos = traj["pos"]
         vel = traj.get("vel")
+        obs_nbr = traj.get("obs_nbr") if draw_cones else None
         frames = []
         for t in range(0, pos.shape[0], every):
             lo = max(0, t - trail_len)
+            cones = (cones_from_obs(obs_nbr[t], traj["obs_mask"][t])
+                     if obs_nbr is not None else None)
             self.draw_frame(pos[t], vel[t] if vel is not None else None,
-                            trail=pos[lo:t + 1])
+                            trail=pos[lo:t + 1], cones=cones)
             p = os.path.join(out_dir, f"frame_{t:04d}.png")
             self.save_frame(p)
             frames.append(p)

@@ -7,10 +7,14 @@ Usage: python scripts/bc_eval.py [world] [expert] [bc_steps] [log_std]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # container sitecustomize pins the axon TPU; mirror conftest's override
+    jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, ".")
 
 from rvo3d_tpu.algo.bc import bc_pretrain
@@ -37,11 +41,19 @@ def main():
     trainer = Trainer(cfg, wd.spec())
     dagger = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     margin = float(sys.argv[7]) if len(sys.argv) > 7 else 0.4
+    def on_round(r, p_round, loss_r):
+        m = evaluate(trainer.ac, p_round, trainer.world, cfg.env,
+                     jax.random.PRNGKey(0), num_episodes=8, num_lanes=8,
+                     std_factor=1e-3, action_mode="direct")
+        print(f"  round {r}: loss={loss_r:.5f} det-success="
+              f"{m['success_rate']:.0%} EpLen={m['mean_ep_len']}", flush=True)
+
     params, loss = bc_pretrain(
         trainer.ac, trainer.ppo_state.params, trainer.world, cfg.env,
         jax.random.PRNGKey(8), num_envs=32, train_steps=bc_steps,
         expert=expert, action_mode="direct", explore_std=explore_std,
-        demo_steps=400, dagger_rounds=dagger, expert_margin=margin)
+        demo_steps=400, dagger_rounds=dagger, expert_margin=margin,
+        on_round=on_round)
     print(f"BC: {bc_steps} steps, explore_std={explore_std}, "
           f"dagger={dagger}, margin={margin}, final loss {loss:.5f}",
           flush=True)
