@@ -124,10 +124,18 @@ def evaluate(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
              key: jax.Array, *, num_episodes: int = 100, num_lanes: int = 16,
              max_ep_len: int = 150, acceler_vel: float = 1.0,
              std_factor: float = 1e-3,
-             action_mode: str = "increment") -> Dict[str, float]:
+             action_mode: str = "increment",
+             max_chunks: int = 32,
+             chunk_len: int | None = None) -> Dict[str, float]:
     """Run until >= num_episodes episodes complete; return the reference's
-    summary metrics (post_train.py:116-128)."""
-    chunk = max_ep_len + 10
+    summary metrics (post_train.py:116-128).
+
+    max_chunks bounds device time (each chunk is chunk_len jitted steps
+    across num_lanes lanes); if the bound truncates below num_episodes the
+    result carries a "truncated" key and a warning is printed rather than
+    silently under-delivering. chunk_len defaults to max_ep_len + 10; CPU
+    smoke evals can shrink it to keep per-call latency tolerable."""
+    chunk = chunk_len if chunk_len is not None else max_ep_len + 10
     chunk_fn = jax.jit(make_eval_chunk(
         ac, world, p, max_ep_len, acceler_vel, std_factor, chunk,
         action_mode))
@@ -148,7 +156,7 @@ def evaluate(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
     ended_all, success_all, info_all, len_all, speed_all, ret_all = \
         [], [], [], [], [], []
     total = 0
-    for _ in range(32):  # hard cap: 32 chunks
+    for _ in range(max_chunks):
         carry, rec = chunk_fn(params, carry)
         e = np.asarray(rec.ended)
         ended_all.append(e)
@@ -175,9 +183,16 @@ def evaluate(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
     speeds = speeds[:num_episodes]
     rets = rets[:num_episodes]
     n = len(success)
+    truncated = n < num_episodes
+    if truncated:
+        print(f"evaluate: WARNING — chunk budget exhausted at {n}/"
+              f"{num_episodes} episodes ({max_chunks} chunks x {chunk} "
+              f"steps x {num_lanes} lanes); raise max_chunks/num_lanes",
+              flush=True)
 
     ok_lens = lens[info.astype(bool)]
     return {
+        **({"truncated": True} if truncated else {}),
         "episodes": int(n),
         "success_rate": float(success.sum() / max(n, 1)),
         "mean_ep_len": float(np.round(ok_lens.mean(), 2)) if len(ok_lens) else 0.0,

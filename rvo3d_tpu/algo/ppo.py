@@ -195,7 +195,14 @@ def ppo_update(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
     perm = jax.random.permutation(key, n_agents)
 
     def flatten_agent(x, r):
-        sl = jnp.take(x, r, axis=2)                # [T, E, ...]
+        # one-hot broadcast-sum, not jnp.take: the axon TPU backend
+        # miscompiles small-gather lowerings under fusion (see
+        # env/state.py:_wp_select); 0/1 weights keep the values exact.
+        dt = jnp.float32 if x.dtype == jnp.bool_ else x.dtype
+        oh = jax.nn.one_hot(r, x.shape[2], dtype=dt)
+        oh = oh.reshape((1, 1, x.shape[2]) + (1,) * (x.ndim - 3))
+        sl = jnp.sum(oh * x.astype(dt), axis=2)    # [T, E, ...]
+        sl = sl > 0.5 if x.dtype == jnp.bool_ else sl
         return sl.reshape((-1,) + sl.shape[2:])    # [T*E, ...]
 
     def body(k, carry):

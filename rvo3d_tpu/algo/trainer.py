@@ -183,14 +183,22 @@ class Trainer:
                     "restored_to_epoch": good_epoch,
                     "rescue_checkpoint_saved": checkpoint_fn is not None,
                 })
+                # score the rescued state so no halt is ever scoreless
+                if eval_fn:
+                    eval_fn(max(good_epoch, 0), self.ppo_state)
                 return
             last_good = (epoch, self.ppo_state, self.carry)
             log_fn(metrics)
-            if checkpoint_fn and (
+            saved = checkpoint_fn and (
                 epoch % self.cfg.train.save_freq == 0 or epoch == epochs
-            ):
+            )
+            if saved:
                 checkpoint_fn(epoch, self.ppo_state)
-            if eval_fn and eval_every and (
-                epoch % eval_every == 0 or epoch == epochs
-            ) and epoch > 0:
+            # every persisted checkpoint gets an eval line (round-2 lesson:
+            # w2_curr4 died with 5 checkpoints on disk and no score), plus
+            # the explicit eval_every cadence.
+            if eval_fn and epoch > 0 and (
+                saved or (eval_every and (epoch % eval_every == 0
+                                          or epoch == epochs))
+            ):
                 eval_fn(epoch, self.ppo_state)

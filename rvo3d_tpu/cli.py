@@ -133,11 +133,17 @@ def cmd_train(args) -> int:
     # reference's 0.4 — each stage recompiles once and reuses the PPO state.
     if args.curriculum:
         import dataclasses as _dc
+        import dataclasses as _dc2
+
+        from rvo3d_tpu.algo.evaluator import evaluate
 
         stages = []
         for part in args.curriculum.split(","):
             thr, eps = part.split(":")
             stages.append((float(thr), None if eps == "rest" else int(eps)))
+        # the run's "final" threshold is the LAST stage's, not a hard-coded
+        # 0.4 — a curriculum targeting another threshold evaluates there
+        final_thr = stages[-1][0]
         logger = JSONLLogger(os.path.join(run_dir, "train.jsonl"),
                              echo=not args.quiet)
         ckpt_dir = os.path.join(run_dir, "ckpt")
@@ -160,21 +166,33 @@ def cmd_train(args) -> int:
                 m["goal_threshold"] = thr
                 logger.log(m)
 
+            def eval_stage(e, s, base=done_epochs, tr=trainer,
+                           p_stage=cfg_stage.env):
+                m = evaluate(tr.ac, s.params, tr.world, p_stage,
+                             jax.random.PRNGKey(base + e),
+                             num_episodes=args.eval_episodes, num_lanes=8,
+                             std_factor=cfg.train.std_factor_eval,
+                             action_mode=cfg.train.action_mode)
+                line = (f"epoch {base + e} (stage thr={p_stage.goal_threshold}):"
+                        f" success {m['success_rate']:.2%} "
+                        f"EpLen {m['mean_ep_len']}±{m['std_ep_len']}")
+                print(line)
+                with open(os.path.join(run_dir, "results.txt"), "a") as f:
+                    f.write(line + "\n")
+
             trainer.train(epochs=remaining - 1, log_fn=log_stage,
                           checkpoint_fn=lambda e, s: save_checkpoint(
-                              ckpt_dir, done_epochs + e, s, cfg_stage))
+                              ckpt_dir, done_epochs + e, s, cfg_stage),
+                          eval_fn=eval_stage)
             state = trainer.ppo_state
             done_epochs += remaining
-            # end-of-stage eval at the stage threshold AND the final 0.4
-            from rvo3d_tpu.algo.evaluator import evaluate
-
-            for thr_eval in sorted({thr, 0.4}):
-                import dataclasses as _dc2
-
+            # end-of-stage eval at the stage threshold AND the final stage's
+            for thr_eval in sorted({thr, final_thr}):
                 p_eval = _dc2.replace(cfg.env, goal_threshold=thr_eval)
                 m = evaluate(trainer.ac, state.params, trainer.world,
                              p_eval, jax.random.PRNGKey(done_epochs),
                              num_episodes=args.eval_episodes, num_lanes=8,
+                             std_factor=cfg.train.std_factor_eval,
                              action_mode=cfg.train.action_mode)
                 line = (f"stage thr={thr} done (epoch {done_epochs}): "
                         f"eval@{thr_eval} success {m['success_rate']:.2%} "
@@ -188,22 +206,25 @@ def cmd_train(args) -> int:
                            os.path.join(run_dir, "reward_curves.png"))
         return 0
 
-    eval_fn = None
-    if args.eval_every:
-        from rvo3d_tpu.algo.evaluator import evaluate
+    # always installed: the trainer scores EVERY persisted checkpoint (and
+    # the rescue state on a halt) so no run ends scoreless, --eval_every
+    # just adds a denser cadence (round-2 lesson: w2_curr4 died with 5
+    # checkpoints and no results.txt).
+    from rvo3d_tpu.algo.evaluator import evaluate
 
-        results_path = os.path.join(run_dir, "results.txt")
+    results_path = os.path.join(run_dir, "results.txt")
 
-        def eval_fn(epoch, state):
-            m = evaluate(trainer.ac, state.params, trainer.world, cfg.env,
-                         jax.random.PRNGKey(epoch), num_episodes=args.eval_episodes,
-                         num_lanes=8, action_mode=cfg.train.action_mode)
-            line = (f"epoch {epoch}: success {m['success_rate']:.2%} "
-                    f"EpLen {m['mean_ep_len']}±{m['std_ep_len']} "
-                    f"speed {m['mean_speed']}±{m['std_speed']}")
-            print(line)
-            with open(results_path, "a") as f:
-                f.write(line + "\n")
+    def eval_fn(epoch, state):
+        m = evaluate(trainer.ac, state.params, trainer.world, cfg.env,
+                     jax.random.PRNGKey(epoch), num_episodes=args.eval_episodes,
+                     num_lanes=8, std_factor=cfg.train.std_factor_eval,
+                     action_mode=cfg.train.action_mode)
+        line = (f"epoch {epoch}: success {m['success_rate']:.2%} "
+                f"EpLen {m['mean_ep_len']}±{m['std_ep_len']} "
+                f"speed {m['mean_speed']}±{m['std_speed']}")
+        print(line)
+        with open(results_path, "a") as f:
+            f.write(line + "\n")
 
     trainer.train(epochs=args.train_epoch, log_fn=logger.log,
                   checkpoint_fn=save, eval_fn=eval_fn,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from rvo3d_tpu.config import EnvParams
@@ -216,8 +217,16 @@ def vo_observe(states: jnp.ndarray, actions: jnp.ndarray,
     order = jnp.lexsort((-pw.sort_d, pw.sort_t), axis=-1)   # [N, M]
     k = min(p.neighbor_num, m)
     tail = order[:, m - k:]                                  # [N, k] ascending urgency
-    obs_k = jnp.take_along_axis(pw.obs9, tail[..., None], axis=1)   # [N, k, 9]
-    mask_k = jnp.take_along_axis(flagged, tail, axis=1)             # [N, k]
+    # one-hot selection instead of take_along_axis: the axon TPU backend
+    # miscompiles small-gather lowerings under some fusion contexts (see
+    # env/state.py:_wp_select and RESULTS.md "TPU backend gather bug").
+    # Broadcast-multiply + sum, NOT a batched einsum: the dot_general form
+    # intermittently deadlocks XLA:CPU's in-process collective rendezvous
+    # on the virtual test mesh. 0/1 weights keep the values exact.
+    sel = jax.nn.one_hot(tail, m, dtype=pw.obs9.dtype)              # [N, k, M]
+    obs_k = jnp.sum(sel[..., None] * pw.obs9[:, None, :, :], axis=2)
+    mask_k = jnp.sum(sel * flagged[:, None, :].astype(pw.obs9.dtype),
+                     axis=-1) > 0.5                                  # [N, k]
 
     nm = p.neighbor_num
     obs_nbr = jnp.zeros((n, nm, 9), states.dtype)

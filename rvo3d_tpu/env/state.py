@@ -10,10 +10,29 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rvo3d_tpu.env.obstacles import SphereSpec, make_sphere_spec
+
+
+def _wp_select(wps: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """waypoints[..., idx, :] as a one-hot contraction.
+
+    Deliberately NOT a gather: the axon TPU backend miscompiles the
+    small-shape `take_along_axis` lowering under some fusion contexts
+    (observed live: waypoints[2] -> [0.5, 0, 0] with trailing lanes zeroed,
+    which silently corrupted every arrival check and desired velocity in
+    round-2 training — see RESULTS.md "TPU backend gather bug"). A one-hot
+    matmul is fusion-robust and maps to the MXU/VPU instead of a gather.
+    wps: [..., W, 3]; idx: [...] int -> [..., 3]."""
+    oh = jax.nn.one_hot(idx, wps.shape[-2], dtype=wps.dtype)
+    # broadcast-multiply + sum, NOT einsum: the batched dot_general form
+    # (batch dims [..., w] x [..., w, c]) intermittently deadlocks XLA:CPU's
+    # in-process collective rendezvous on the virtual 8-device test mesh;
+    # the elementwise form fuses cleanly on both backends.
+    return jnp.sum(oh[..., None] * wps, axis=-2)
 
 
 class WorldSpec(NamedTuple):
@@ -55,10 +74,7 @@ class WorldSpec(NamedTuple):
     def destinations(self) -> jnp.ndarray:
         # destination = waypoints[n_points-1] (drone.py:26 via env_drones.py:34-41);
         # padding repeats the last true waypoint so index -1 is also valid.
-        idx = self.n_points - 1
-        return jnp.take_along_axis(
-            self.waypoints, idx[:, None, None].astype(jnp.int32), axis=1
-        )[:, 0, :]
+        return _wp_select(self.waypoints, self.n_points - 1)
 
 
 class DroneState(NamedTuple):
@@ -95,19 +111,17 @@ class DroneState(NamedTuple):
 
     def current_des(self, world: WorldSpec) -> jnp.ndarray:
         """waypoints[i] — the active target waypoint."""
-        idx = self.wp_idx[..., None, None].astype(jnp.int32)
         wps = world.waypoints
         if self.pos.ndim == 3:  # batched [E, N, ...]
             wps = jnp.broadcast_to(wps, (self.pos.shape[0],) + wps.shape)
-        return jnp.take_along_axis(wps, idx, axis=-2)[..., 0, :]
+        return _wp_select(wps, self.wp_idx)
 
     def previous_des(self, world: WorldSpec) -> jnp.ndarray:
         """waypoints[i-1] — segment start for deviation tracking."""
-        idx = jnp.maximum(self.wp_idx - 1, 0)[..., None, None].astype(jnp.int32)
         wps = world.waypoints
         if self.pos.ndim == 3:
             wps = jnp.broadcast_to(wps, (self.pos.shape[0],) + wps.shape)
-        return jnp.take_along_axis(wps, idx, axis=-2)[..., 0, :]
+        return _wp_select(wps, jnp.maximum(self.wp_idx - 1, 0))
 
 
 class StepOutput(NamedTuple):

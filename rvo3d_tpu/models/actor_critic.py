@@ -35,20 +35,23 @@ def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
 
 class TorchDense(nn.Module):
     features: int
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         k = self.param("kernel", torch_linear_kernel_init,
-                       (x.shape[-1], self.features))
+                       (x.shape[-1], self.features), self.param_dtype)
         fan_in = x.shape[-1]
         bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, jnp.float32))
         b = self.param(
             "bias",
             lambda key, shape, dtype=jnp.float32: jax.random.uniform(
                 key, shape, dtype, -bound, bound),
-            (self.features,),
+            (self.features,), self.param_dtype,
         )
-        return x @ k + b
+        dt = self.compute_dtype
+        return x.astype(dt) @ k.astype(dt) + b.astype(dt)
 
 
 class MLP(nn.Module):
@@ -57,11 +60,15 @@ class MLP(nn.Module):
 
     sizes: Sequence[int]
     output_activation: str = "identity"  # 'tanh' | 'identity'
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i, width in enumerate(self.sizes):
-            x = TorchDense(width, name=f"dense_{i}")(x)
+            x = TorchDense(width, name=f"dense_{i}",
+                           param_dtype=self.param_dtype,
+                           compute_dtype=self.compute_dtype)(x)
             if i < len(self.sizes) - 1:
                 x = nn.relu(x)
             elif self.output_activation == "tanh":
@@ -83,17 +90,27 @@ class ActorCritic(nn.Module):
 
     def setup(self):
         c = self.cfg
+        # ModelConfig.param_dtype/compute_dtype: params normally stay f32
+        # (optimizer numerics) while compute_dtype='bfloat16' runs every
+        # matmul on the MXU's native format for inference/serving; outputs
+        # are cast back to f32 before sampling/logp (see __call__).
+        pdt = jnp.dtype(c.param_dtype)
+        cdt = jnp.dtype(c.compute_dtype)
         self.encoder = NeighborEncoder(
             state_dim=c.state_dim,
             input_dim=c.rnn_input_dim,
             hidden_dim=c.rnn_hidden_dim,
             mode=c.rnn_mode,
             use_pallas=getattr(c, "use_pallas_gru", False),
+            param_dtype=pdt,
+            compute_dtype=cdt,
         )
         self.actor = MLP(tuple(c.hidden_sizes_ac) + (self.act_dim,),
-                         output_activation="tanh")
+                         output_activation="tanh",
+                         param_dtype=pdt, compute_dtype=cdt)
         self.critic = MLP(tuple(c.hidden_sizes_v) + (1,),
-                          output_activation="identity")
+                          output_activation="identity",
+                          param_dtype=pdt, compute_dtype=cdt)
         self.log_std = self.param(
             "log_std",
             lambda key, shape: jnp.full(shape, c.log_std_init, jnp.float32),
@@ -108,10 +125,12 @@ class ActorCritic(nn.Module):
         return jnp.clip(std, 1e-4, 10.0)
 
     def __call__(self, obs_self, obs_nbr, obs_mask, std_factor: float = 1.0):
-        """Returns (mu, std, value) — the full forward used for init."""
+        """Returns (mu, std, value) — the full forward used for init.
+        Outputs are f32 regardless of compute_dtype (sampling, logp and the
+        env integration stay in f32)."""
         feat = self._features(obs_self, obs_nbr, obs_mask)
-        mu = self.actor(feat)
-        v = jnp.squeeze(self.critic(feat), -1)
+        mu = self.actor(feat).astype(jnp.float32)
+        v = jnp.squeeze(self.critic(feat), -1).astype(jnp.float32)
         return mu, self._std(std_factor), v
 
     def step(self, key, obs_self, obs_nbr, obs_mask, std_factor: float = 1.0

@@ -49,15 +49,21 @@ class _GRUCore(nn.Module):
     input_dim: int
     hidden_dim: int
     use_pallas: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         h = self.hidden_dim
         init = torch_rnn_init(h)
-        w_ih = self.param("w_ih", init, (self.input_dim, 3 * h))
-        w_hh = self.param("w_hh", init, (h, 3 * h))
-        b_ih = self.param("b_ih", init, (3 * h,))
-        b_hh = self.param("b_hh", init, (3 * h,))
+        pdt, cdt = self.param_dtype, self.compute_dtype
+        w_ih = self.param("w_ih", init, (self.input_dim, 3 * h), pdt)
+        w_hh = self.param("w_hh", init, (h, 3 * h), pdt)
+        b_ih = self.param("b_ih", init, (3 * h,), pdt)
+        b_hh = self.param("b_hh", init, (3 * h,), pdt)
+        xs = xs.astype(cdt)
+        w_ih, w_hh = w_ih.astype(cdt), w_hh.astype(cdt)
+        b_ih, b_hh = b_ih.astype(cdt), b_hh.astype(cdt)
 
         if self.use_pallas:
             from rvo3d_tpu.ops.pallas_gru import masked_gru_scan
@@ -91,15 +97,21 @@ class _LSTMCore(nn.Module):
 
     input_dim: int
     hidden_dim: int
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         h = self.hidden_dim
         init = torch_rnn_init(h)
-        w_ih = self.param("w_ih", init, (self.input_dim, 4 * h))
-        w_hh = self.param("w_hh", init, (h, 4 * h))
-        b_ih = self.param("b_ih", init, (4 * h,))
-        b_hh = self.param("b_hh", init, (4 * h,))
+        pdt, cdt = self.param_dtype, self.compute_dtype
+        w_ih = self.param("w_ih", init, (self.input_dim, 4 * h), pdt)
+        w_hh = self.param("w_hh", init, (h, 4 * h), pdt)
+        b_ih = self.param("b_ih", init, (4 * h,), pdt)
+        b_hh = self.param("b_hh", init, (4 * h,), pdt)
+        xs = xs.astype(cdt)
+        w_ih, w_hh = w_ih.astype(cdt), w_hh.astype(cdt)
+        b_ih, b_hh = b_ih.astype(cdt), b_hh.astype(cdt)
 
         def cell(carry, inp):
             hid, c = carry
@@ -128,6 +140,8 @@ class NeighborEncoder(nn.Module):
     hidden_dim: int = 256
     mode: str = "biGRU"  # 'GRU' | 'biGRU' | 'LSTM'
     use_pallas: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, self_state: jnp.ndarray, neighbors: jnp.ndarray,
@@ -144,23 +158,29 @@ class NeighborEncoder(nn.Module):
         xs = jnp.moveaxis(neighbors, -2, 0)       # [nm, ..., 9]
         ms = jnp.moveaxis(mask, -1, 0)            # [nm, ...]
 
+        dts = dict(param_dtype=self.param_dtype,
+                   compute_dtype=self.compute_dtype)
         if self.mode == "GRU":
             hn = _GRUCore(self.input_dim, self.hidden_dim,
-                          use_pallas=self.use_pallas, name="fwd")(xs, ms)
+                          use_pallas=self.use_pallas, name="fwd",
+                          **dts)(xs, ms)
         elif self.mode == "biGRU":
             h_f = _GRUCore(self.input_dim, self.hidden_dim,
-                           use_pallas=self.use_pallas, name="fwd")(xs, ms)
+                           use_pallas=self.use_pallas, name="fwd",
+                           **dts)(xs, ms)
             h_b = _GRUCore(self.input_dim, self.hidden_dim,
-                           use_pallas=self.use_pallas, name="bwd")(
+                           use_pallas=self.use_pallas, name="bwd",
+                           **dts)(
                 xs[::-1], ms[::-1]
             )
             hn = h_f + h_b                         # hidden-sum (policy_rnn_ac.py:121-122)
         elif self.mode == "LSTM":
-            hn = _LSTMCore(self.input_dim, self.hidden_dim, name="fwd")(xs, ms)
+            hn = _LSTMCore(self.input_dim, self.hidden_dim, name="fwd",
+                           **dts)(xs, ms)
         else:
             raise ValueError(f"unknown rnn mode {self.mode}")
 
-        feat = jnp.concatenate([self_state, hn], axis=-1)
+        feat = jnp.concatenate([self_state.astype(hn.dtype), hn], axis=-1)
         # torch LayerNorm eps (1e-5), not the flax default (1e-6)
         feat = nn.LayerNorm(name="ln", epsilon=1e-5)(feat)  # policy_rnn_ac.py:94-95,:124-127
         return feat

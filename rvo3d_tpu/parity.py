@@ -34,8 +34,19 @@ def _boundary_margin(oracle, i: int, p) -> float:
         dis = float(np.linalg.norm(pos - np.asarray(o.state, float)))
         m = min(m, abs(dis - (d.radius + o.radius)))
     for b in oracle.building_list:
+        # gate each term on the complementary half of the collision
+        # predicate (check_col_with_budilding: dis2d <= r+R AND z <= h):
+        # the radial boundary only decides when the drone is under the
+        # roof, the height boundary only when inside the cylinder's xy
+        # footprint — otherwise a coincidental match (e.g. cruising exactly
+        # at a building's height across the map) would misclassify a real
+        # flag mismatch as a knife-edge tie.
         dis2d = float(np.linalg.norm(pos[:2] - np.asarray(b[:2], float)))
-        m = min(m, abs(dis2d - (float(b[3]) + d.radius)), abs(float(b[2]) - pos[2]))
+        r_sum = float(b[3]) + d.radius
+        if pos[2] <= float(b[2]):
+            m = min(m, abs(dis2d - r_sum))
+        if dis2d <= r_sum:
+            m = min(m, abs(float(b[2]) - pos[2]))
     m = min(m, abs(float(np.linalg.norm(pos - d.current_des)) - d.goal_threshold))
     m = min(m, abs(float(np.linalg.norm(pos - d.destination)) - d.goal_threshold))
     return m
@@ -99,17 +110,13 @@ def run_parity(worlds: List[str], steps: int = 200, x64: bool = False,
             _, o_rew, o_done, o_info, o_fin = oracle.step(acts, nvals)
             state, out = jstep(state, jnp.asarray(acts, dtype), k)
 
-            pos_err = float(np.max(np.abs(
+            pos_err_i = np.max(np.abs(
                 np.asarray(state.pos) -
-                np.stack([d.state for d in oracle.drones]))))
-            finite = [r for r, jr in zip(o_rew, np.asarray(out.reward))
-                      if np.isfinite(r) and np.isfinite(jr)]
-            rew_err = float(np.max(np.abs(
-                np.asarray(finite) -
-                np.asarray([jr for r, jr in zip(
-                    o_rew, np.asarray(out.reward))
-                    if np.isfinite(r) and np.isfinite(jr)])))) \
-                if finite else 0.0
+                np.stack([d.state for d in oracle.drones])), axis=-1)  # [N]
+            j_rew = np.asarray(out.reward)
+            both_fin = np.isfinite(np.asarray(o_rew)) & np.isfinite(j_rew)
+            rew_err_i = np.where(both_fin,
+                                 np.abs(np.asarray(o_rew) - j_rew), 0.0)
             jd = list(np.asarray(out.done))
             jf = list(np.asarray(out.finish))
             ji = list(np.asarray(out.info_arrive))
@@ -120,18 +127,23 @@ def run_parity(worlds: List[str], steps: int = 200, x64: bool = False,
                                 for i in disagree):
                 # knife-edge tie: both implementations sit on a decision
                 # boundary to within float noise. Reset the tied drones in
-                # BOTH so lockstep comparison continues; don't count this
-                # step's reward error (one side includes the flag payout).
+                # BOTH so lockstep comparison continues. Only the TIED
+                # drones leave this step's error accounting — a genuine
+                # pos/reward divergence on any other drone still counts.
                 ties += 1
                 mask = np.zeros(n, bool)
                 mask[disagree] = True
+                max_pos = max(max_pos, float(np.max(
+                    np.where(mask, 0.0, pos_err_i), initial=0.0)))
+                max_rew = max(max_rew, float(np.max(
+                    np.where(mask, 0.0, rew_err_i), initial=0.0)))
                 for i in disagree:
                     oracle.reset_one(i)
                 state = reset_where(spec, state, jnp.asarray(mask))
                 o_done = [d and not m for d, m in zip(o_done, mask)]
             else:
-                max_pos = max(max_pos, pos_err)
-                max_rew = max(max_rew, rew_err)
+                max_pos = max(max_pos, float(np.max(pos_err_i)))
+                max_rew = max(max_rew, float(np.max(rew_err_i)))
                 flags_ok &= not disagree
 
             if any(o_done):

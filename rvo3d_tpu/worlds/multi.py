@@ -73,8 +73,12 @@ def stack_worlds(specs: Sequence[WorldSpec]) -> WorldSpec:
 
 def worlds_for_lanes(stacked: WorldSpec, world_idx: jnp.ndarray) -> WorldSpec:
     """Gather a per-lane WorldSpec (leaves [E, ...]) from a stacked spec."""
-    idx = jnp.asarray(world_idx, jnp.int32)
-    return jax.tree_util.tree_map(lambda x: jnp.take(x, idx, axis=0), stacked)
+    # host-side numpy gather: runs once at setup with concrete indices, and
+    # avoids the axon TPU backend's miscompiled small-gather lowering
+    # (see env/state.py:_wp_select).
+    idx = np.asarray(world_idx, np.int32)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x)[idx]), stacked)
 
 
 class MultiWorldEnv:

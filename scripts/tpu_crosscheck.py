@@ -1,0 +1,186 @@
+"""CPU <-> TPU cross-check: run the framework's hot paths on both backends
+and compare. Exists because the axon TPU backend MISCOMPILED the env's
+small-gather lowerings in rounds 1-2 (take_along_axis on the [N, W, 3]
+waypoint table returned [x, 0, 0] under some fusion contexts), silently
+corrupting desired velocities, observations and every arrival check — the
+root cause of the 0%-success training runs. All gathers on the compute path
+are now one-hot contractions (env/state.py:_wp_select, env/rvo.py,
+algo/ppo.py); this script is the regression net that proves the TPU
+executes the same program the CPU parity oracle validated.
+
+Usage:
+  python scripts/tpu_crosscheck.py             # golden on CPU (subprocess),
+                                               # then check on TPU
+  python scripts/tpu_crosscheck.py golden FILE # CPU half only
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+STEPS = 40          # short horizon: f32 trig noise must not flip decisions
+WORLDS = ("world_2", "world_3", "world_8")
+
+
+def compute(world_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from rvo3d_tpu.config import EnvParams, ModelConfig
+    from rvo3d_tpu.env.env import reset, step
+    from rvo3d_tpu.env.rvo_policy import rvo_controller
+    from rvo3d_tpu.models import ActorCritic
+    from rvo3d_tpu.worlds import load_world
+
+    wd = load_world(world_name)
+    world = wd.spec()
+    p = EnvParams(num_drones=wd.drone_num)
+
+    from rvo3d_tpu.env import geometry as geo
+    from rvo3d_tpu.env.env import drone_states_12
+
+    @jax.jit
+    def expert_traj():
+        s0 = reset(world, p)
+
+        def body(state, _):
+            a = rvo_controller(state, world, p)
+            # the pre-step action/des_vel angle drives a BUCKETED reward
+            # (env/reward.py:angle_bucket_bonus); exact-tie angles (e.g. a
+            # perpendicular dodge, dot == 0) legitimately round to different
+            # buckets across backends — emit the angle so check() can
+            # exclude knife-edge entries, as the CPU parity harness does.
+            s12, _ = drone_states_12(world, state, p)
+            dv = geo.rnd(s12[:, 8:11], 3, p.parity_rounding)
+            ang = geo.angle_between_eps(dv, a)
+            state, out = step(world, state, a, p)
+            return state, (state.pos, out.reward, out.done, out.finish,
+                           out.info_arrive, out.obs_self, out.obs_nbr,
+                           out.obs_mask, state.wp_idx, ang)
+
+        _, ys = jax.lax.scan(body, s0, None, length=STEPS)
+        return ys
+
+    pos, rew, done, fin, info, o_self, o_nbr, o_mask, wp, ang = expert_traj()
+
+    # model forward on the trajectory's observations (GRU encoder path)
+    ac = ActorCritic(ModelConfig())
+    params = ac.init(jax.random.PRNGKey(0), o_self[0], o_nbr[0], o_mask[0])
+
+    @jax.jit
+    def fwd():
+        fs = o_self.reshape((-1,) + o_self.shape[2:])
+        fn = o_nbr.reshape((-1,) + o_nbr.shape[2:])
+        fm = o_mask.reshape((-1,) + o_mask.shape[2:])
+        mu, log_std, v = ac.apply(params, fs, fn, fm)
+        return mu, v
+
+    mu, v = fwd()
+    import numpy as np
+
+    return {
+        "pos": np.asarray(pos), "rew": np.asarray(rew),
+        "done": np.asarray(done), "fin": np.asarray(fin),
+        "info": np.asarray(info), "obs_self": np.asarray(o_self),
+        "obs_nbr": np.asarray(o_nbr), "obs_mask": np.asarray(o_mask),
+        "wp": np.asarray(wp), "mu": np.asarray(mu), "v": np.asarray(v),
+        "angle": np.asarray(ang),
+    }
+
+
+def golden(path: str):
+    import numpy as np
+
+    out = {}
+    for w in WORLDS:
+        for k, v in compute(w).items():
+            out[f"{w}/{k}"] = v
+    np.savez(path, **out)
+    print(f"golden written: {path}", flush=True)
+
+
+def check(path: str) -> int:
+    import numpy as np
+
+    ref = np.load(path)
+    bad = 0
+    BUCKETS = np.array([np.pi / 18, np.pi / 6, np.pi / 3, np.pi / 2])
+    for w in WORLDS:
+        got = compute(w)
+        ang = ref[f"{w}/angle"]
+        ang_t = np.asarray(got["angle"])
+        # arccos near a bucket boundary amplifies f32 trig noise to ~5e-4
+        # rad; a tie on EITHER backend excludes the entry (union), like the
+        # CPU parity harness's knife-edge rule
+        knife = ((np.abs(ang[..., None] - BUCKETS) < 2e-3).any(-1)
+                 | (np.abs(ang_t[..., None] - BUCKETS) < 2e-3).any(-1))
+        for k, v in got.items():
+            if k == "angle":
+                continue
+            r = ref[f"{w}/{k}"]
+            v = np.asarray(v)
+            if k == "rew" and knife.any():
+                r = np.where(knife, 0.0, r)
+                v = np.where(knife, 0.0, v)
+            if v.dtype == bool or np.issubdtype(v.dtype, np.integer):
+                ok = np.array_equal(r, v)
+                detail = f"mismatches={int((r != v).sum())}" if not ok else ""
+            else:
+                # NaN/inf appear in BOTH goldens: with safe_rewards=False the
+                # reference's own reward divides by a zero desired velocity
+                # after finish (ir_gym.py:77) — require the non-finite
+                # PATTERN to match and compare the finite entries.
+                finite = np.isfinite(r)
+                pattern_ok = bool(
+                    np.array_equal(finite, np.isfinite(v))
+                    and np.array_equal(np.isnan(r), np.isnan(v))
+                    and np.array_equal(r[~finite & ~np.isnan(r)],
+                                       v[~finite & ~np.isnan(r)]))
+                err = (float(np.max(np.abs(r[finite] - v[finite])))
+                       if finite.any() else 0.0)
+                # mu/v run through the GRU/MLP matmul stack: the TPU's
+                # default matmul precision (bf16 passes) legitimately gives
+                # ~1e-3 vs CPU f32 — not a miscompile. Everything else is
+                # elementwise math and must match to f32 accumulation noise.
+                tol = 3e-3 if k in ("mu", "v") else 2e-4
+                ok = bool(err <= tol) and pattern_ok
+                detail = f"max_abs_err={err:.2e}"
+            status = "ok " if ok else "FAIL"
+            print(f"  {status} {w}/{k:9s} {detail}", flush=True)
+            bad += 0 if ok else 1
+        # the point of it all: the expert must finish on TPU like on CPU
+        if got["fin"][-1].all():
+            print(f"  ok  {w} expert completes (all drones finish)")
+        else:
+            print(f"  FAIL {w} expert does NOT complete on this backend")
+            bad += 1
+    return bad
+
+
+def main():
+    gfile = "/tmp/tpu_crosscheck_golden.npz"
+    if len(sys.argv) > 1 and sys.argv[1] == "golden":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        golden(sys.argv[2] if len(sys.argv) > 2 else gfile)
+        return
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run([sys.executable, __file__, "golden", gfile], check=True,
+                   env=env)
+    import jax
+
+    print(f"checking on: {jax.devices()}", flush=True)
+    bad = check(gfile)
+    print("CROSSCHECK " + ("PASS" if bad == 0 else f"FAIL ({bad})"))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -144,3 +144,31 @@ def test_encoder_empty_equals_single_zero_row():
     out_empty = enc.apply(params, s, z_nbr, m_empty)
     out_zero = enc.apply(params, s, z_nbr, m_onezero)
     np.testing.assert_allclose(np.asarray(out_empty), np.asarray(out_zero))
+
+
+def test_bf16_compute_dtype_inference():
+    """ModelConfig.compute_dtype='bfloat16' runs the matmul stack in bf16
+    (MXU-native) and returns f32 outputs close to the f32 forward; params
+    stay f32 (param_dtype default) so checkpoints are interchangeable."""
+    from rvo3d_tpu.config import ModelConfig
+    from rvo3d_tpu.models import ActorCritic
+
+    B, NM_, SD_, IN_ = 16, 5, 12, 9
+    key = jax.random.PRNGKey(3)
+    obs_self = jax.random.normal(key, (B, SD_))
+    obs_nbr = jax.random.normal(jax.random.PRNGKey(4), (B, NM_, IN_))
+    mask = jax.random.bernoulli(jax.random.PRNGKey(5), 0.7, (B, NM_))
+
+    ac32 = ActorCritic(ModelConfig())
+    params = ac32.init(jax.random.PRNGKey(0), obs_self, obs_nbr, mask)
+    mu32, _, v32 = ac32.apply(params, obs_self, obs_nbr, mask)
+
+    ac16 = ActorCritic(ModelConfig(compute_dtype="bfloat16"))
+    mu16, _, v16 = ac16.apply(params, obs_self, obs_nbr, mask)
+
+    assert mu16.dtype == jnp.float32 and v16.dtype == jnp.float32
+    # params are f32 in both (same tree — interchangeable checkpoints)
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(mu16), np.asarray(mu32), atol=0.05)
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32), atol=0.2)
