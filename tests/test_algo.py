@@ -134,6 +134,15 @@ def test_evaluator_smoke(tiny_cfg, reference_worlds_available):
     assert m["episodes"] >= 1
     assert 0.0 <= m["success_rate"] <= 1.0
     assert np.isfinite(m["mean_speed"])
+    assert "truncated" not in m
+
+    # chunk budget too small to deliver num_episodes -> flagged, not silent
+    # (evaluator.py max_chunks cap; ADVICE/VERDICT round-2 weak #6)
+    m2 = evaluate(ac, params, wd.spec(), tiny_cfg.env, jax.random.PRNGKey(1),
+                  num_episodes=500, num_lanes=2, max_ep_len=25,
+                  max_chunks=1, chunk_len=30)
+    assert m2.get("truncated") is True
+    assert m2["episodes"] < 500
 
 
 def test_safe_rewards_guard():

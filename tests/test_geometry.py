@@ -191,3 +191,27 @@ def test_osc_reward_matches_reference_transliteration():
         np.testing.assert_array_equal(got, want)
         saw_penalty |= bool((want == -10).any())
     assert saw_penalty, "fixture never triggered the oscillation branch"
+
+
+def test_wp_select_matches_take_along_axis():
+    """env/state.py:_wp_select is the gather-free waypoint selection (the
+    axon TPU backend miscompiles small gathers — scripts/tpu_crosscheck.py);
+    its one-hot broadcast-sum must equal take_along_axis semantics for
+    unbatched [N, W, 3] and batched [E, N, W, 3] layouts."""
+    import jax.numpy as jnp
+
+    from rvo3d_tpu.env.state import _wp_select
+
+    rng = np.random.default_rng(0)
+    wps = jnp.asarray(rng.normal(size=(5, 7, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 7, size=(5,)).astype(np.int32))
+    want = np.take_along_axis(np.asarray(wps),
+                              np.asarray(idx)[:, None, None], axis=1)[:, 0, :]
+    np.testing.assert_array_equal(np.asarray(_wp_select(wps, idx)), want)
+
+    wps_b = jnp.asarray(rng.normal(size=(4, 5, 7, 3)).astype(np.float32))
+    idx_b = jnp.asarray(rng.integers(0, 7, size=(4, 5)).astype(np.int32))
+    want_b = np.take_along_axis(
+        np.asarray(wps_b), np.asarray(idx_b)[..., None, None], axis=2
+    )[..., 0, :]
+    np.testing.assert_array_equal(np.asarray(_wp_select(wps_b, idx_b)), want_b)
