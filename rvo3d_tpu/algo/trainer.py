@@ -197,7 +197,11 @@ class Trainer:
             # every persisted checkpoint gets an eval line (round-2 lesson:
             # w2_curr4 died with 5 checkpoints on disk and no score), plus
             # the explicit eval_every cadence.
-            if eval_fn and epoch > 0 and (
+            # epoch 0 included: it IS checkpointed (0 % save_freq == 0), so
+            # excluding it would leave one persisted checkpoint scoreless if
+            # a run dies inside the first save_freq epochs (ADVICE r3) — and
+            # its eval doubles as the warm-start (e.g. BC clone) baseline.
+            if eval_fn and (
                 saved or (eval_every and (epoch % eval_every == 0
                                           or epoch == epochs))
             ):

@@ -18,6 +18,15 @@ import os
 import sys
 
 
+def _eval_suffix(m: dict) -> str:
+    """Episode-count context for persisted eval lines: a truncated eval
+    (chunk budget exhausted before num_episodes completed) must be
+    distinguishable in results.txt, not just on stdout (ADVICE r3)."""
+    if m.get("truncated"):
+        return f" [TRUNCATED: {m['episodes']} episodes]"
+    return ""
+
+
 def _fresh_run_dir(root: str, tag: str) -> str:
     os.makedirs(root, exist_ok=True)
     i = 0
@@ -175,7 +184,8 @@ def cmd_train(args) -> int:
                              action_mode=cfg.train.action_mode)
                 line = (f"epoch {base + e} (stage thr={p_stage.goal_threshold}):"
                         f" success {m['success_rate']:.2%} "
-                        f"EpLen {m['mean_ep_len']}±{m['std_ep_len']}")
+                        f"EpLen {m['mean_ep_len']}±{m['std_ep_len']}"
+                        + _eval_suffix(m))
                 print(line)
                 with open(os.path.join(run_dir, "results.txt"), "a") as f:
                     f.write(line + "\n")
@@ -196,7 +206,8 @@ def cmd_train(args) -> int:
                              action_mode=cfg.train.action_mode)
                 line = (f"stage thr={thr} done (epoch {done_epochs}): "
                         f"eval@{thr_eval} success {m['success_rate']:.2%} "
-                        f"EpLen {m['mean_ep_len']}±{m['std_ep_len']}")
+                        f"EpLen {m['mean_ep_len']}±{m['std_ep_len']}"
+                        + _eval_suffix(m))
                 print(line)
                 with open(os.path.join(run_dir, "results.txt"), "a") as f:
                     f.write(line + "\n")
@@ -221,7 +232,8 @@ def cmd_train(args) -> int:
                      action_mode=cfg.train.action_mode)
         line = (f"epoch {epoch}: success {m['success_rate']:.2%} "
                 f"EpLen {m['mean_ep_len']}±{m['std_ep_len']} "
-                f"speed {m['mean_speed']}±{m['std_speed']}")
+                f"speed {m['mean_speed']}±{m['std_speed']}"
+                + _eval_suffix(m))
         print(line)
         with open(results_path, "a") as f:
             f.write(line + "\n")
@@ -282,7 +294,8 @@ def cmd_eval(args) -> int:
     line = (f"world={args.world} success_rate={m['success_rate']:.2%} "
             f"EpLen={m['mean_ep_len']}±{m['std_ep_len']} "
             f"speed={m['mean_speed']}±{m['std_speed']} "
-            f"ret0={m['mean_ret0']:.2f} ({m['episodes']} episodes)")
+            f"ret0={m['mean_ret0']:.2f} ({m['episodes']} episodes"
+            + (", TRUNCATED" if m.get("truncated") else "") + ")")
     print(line)
     if args.results_file:
         with open(args.results_file, "a") as f:

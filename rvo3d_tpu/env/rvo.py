@@ -223,6 +223,13 @@ def vo_observe(states: jnp.ndarray, actions: jnp.ndarray,
     # Broadcast-multiply + sum, NOT a batched einsum: the dot_general form
     # intermittently deadlocks XLA:CPU's in-process collective rendezvous
     # on the virtual test mesh. 0/1 weights keep the values exact.
+    # PRECONDITION: every entry of obs9 must be FINITE — 0*inf/0*nan from a
+    # non-selected column would contaminate all selected rows. This holds
+    # because input_exp_time = 1/(t+0.2) maps the inf exp_time sentinel to
+    # a finite value (geometry.input_exp_time) and all other obs9 channels
+    # are positions/velocities/angles. If a future channel carries an
+    # inf/nan sentinel, it must be masked BEFORE this selection
+    # (tests/test_rvo.py::test_one_hot_selection_finiteness guards this).
     sel = jax.nn.one_hot(tail, m, dtype=pw.obs9.dtype)              # [N, k, M]
     obs_k = jnp.sum(sel[..., None] * pw.obs9[:, None, :, :], axis=2)
     mask_k = jnp.sum(sel * flagged[:, None, :].astype(pw.obs9.dtype),

@@ -47,6 +47,13 @@ def _boundary_margin(oracle, i: int, p) -> float:
             m = min(m, abs(dis2d - r_sum))
         if dis2d <= r_sum:
             m = min(m, abs(float(b[2]) - pos[2]))
+        if pos[2] > float(b[2]) and dis2d > r_sum:
+            # top-rim corner: neither gate admits its boundary term, yet a
+            # drone can sit on a knife edge exactly at the rim circle
+            # (radially outside AND above the roof) — distance to the rim
+            # (ADVICE r3) keeps a genuine tie there from being classified
+            # as a real flag mismatch.
+            m = min(m, float(np.hypot(dis2d - r_sum, pos[2] - float(b[2]))))
     m = min(m, abs(float(np.linalg.norm(pos - d.current_des)) - d.goal_threshold))
     m = min(m, abs(float(np.linalg.norm(pos - d.destination)) - d.goal_threshold))
     return m

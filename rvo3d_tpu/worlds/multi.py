@@ -71,8 +71,14 @@ def stack_worlds(specs: Sequence[WorldSpec]) -> WorldSpec:
     )
 
 
-def worlds_for_lanes(stacked: WorldSpec, world_idx: jnp.ndarray) -> WorldSpec:
-    """Gather a per-lane WorldSpec (leaves [E, ...]) from a stacked spec."""
+def worlds_for_lanes(stacked: WorldSpec, world_idx) -> WorldSpec:
+    """Gather a per-lane WorldSpec (leaves [E, ...]) from a stacked spec.
+
+    Host-side / concrete-only: ``world_idx`` must be a concrete array
+    (np.ndarray or unjitted jnp array) — the leaves are materialized via
+    np.asarray, so calling this with a tracer (inside jit/vmap) raises
+    TracerArrayConversionError by design. Build lane worlds once at setup,
+    not on a traced path (ADVICE r3)."""
     # host-side numpy gather: runs once at setup with concrete indices, and
     # avoids the axon TPU backend's miscompiled small-gather lowering
     # (see env/state.py:_wp_select).

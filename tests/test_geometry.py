@@ -215,3 +215,48 @@ def test_wp_select_matches_take_along_axis():
         np.asarray(wps_b), np.asarray(idx_b)[..., None, None], axis=2
     )[..., 0, :]
     np.testing.assert_array_equal(np.asarray(_wp_select(wps_b, idx_b)), want_b)
+
+
+def test_one_hot_selection_finiteness():
+    """The gather-free one-hot selections (env/rvo.py top-nm, _wp_select)
+    are exact only while every entry of the gathered table is finite: a
+    0*inf from any non-selected column would contaminate every selected
+    row. This pins the precondition: pairwise_vo's obs9 (and its sort
+    keys) must be finite for ALL pair branches — collision, back-off,
+    normal-flagged, normal-unflagged (inf exp_time is mapped through
+    input_exp_time = 1/(t+0.2)), self-pairs and out-of-range pairs
+    (ADVICE r3: make the invariant explicit)."""
+    import jax.numpy as jnp
+
+    from rvo3d_tpu.config import EnvParams
+    from rvo3d_tpu.env.rvo import pairwise_vo
+
+    p = EnvParams(num_drones=4)
+    # hand-placed states covering every branch:
+    #  0-1 colliding (dis < r_sum), 0-2 receding (back-off), 0-3 head-on
+    #  (normal flagged), plus a far pair (> drone_range, masked invalid)
+    states = np.zeros((5, 12), np.float32)
+    states[:, 6] = 0.2   # radius
+    states[:, 7] = 5.0   # priority
+    states[0, 0:3] = [0.0, 0.0, 1.0]
+    states[0, 3:6] = [1.0, 0.0, 0.0]
+    states[1, 0:3] = [0.3, 0.0, 1.0]      # colliding with 0
+    states[2, 0:3] = [-2.0, 0.0, 1.0]     # behind 0, receding
+    states[2, 3:6] = [-1.0, 0.0, 0.0]
+    states[3, 0:3] = [2.5, 0.0, 1.0]      # head-on approach
+    states[3, 3:6] = [-1.0, 0.0, 0.0]
+    states[4, 0:3] = [100.0, 100.0, 1.0]  # out of range
+    actions = np.asarray(states[:, 3:6])
+
+    pw = pairwise_vo(jnp.asarray(states), jnp.asarray(actions), p)
+    assert bool(jnp.any(pw.collision)), "fixture lost the collision branch"
+    assert bool(jnp.any(pw.vo_flag)), "fixture lost the flagged branch"
+    # obs9 is the table the one-hot selection multiplies into — it must be
+    # finite in every slot, selected or not. (sort_t/exp_time DO carry inf
+    # sentinels by design; they are consumed only by lexsort/min, which
+    # tolerate inf — never by a 0/1 multiply.)
+    assert bool(jnp.all(jnp.isfinite(pw.obs9))), (
+        "pairwise_vo.obs9 carries a non-finite sentinel — the one-hot "
+        "selection in vo_observation would be corrupted (0*inf = nan)")
+    assert bool(jnp.all(jnp.isfinite(pw.sort_d))) and bool(
+        jnp.all(jnp.isfinite(pw.min_dis4)))
