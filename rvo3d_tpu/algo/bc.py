@@ -139,7 +139,7 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
                 cruise_speed: float = 0.6, expert: str = "waypoint",
                 action_mode: str = "increment", explore_std: float = 0.0,
                 expert_margin: float | None = None,
-                dagger_rounds: int = 0,
+                dagger_rounds: int = 0, conflict_weight: float = 1.0,
                 on_round=None) -> Tuple[dict, float]:
     """Behavior cloning with optional DAgger iterations.
 
@@ -161,9 +161,21 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
 
     def loss_fn(params, data, idx):
         obs_self, obs_nbr, obs_mask, target = data
-        mu, _, v = ac.apply(params, obs_self[idx], obs_nbr[idx],
-                            obs_mask[idx])
-        return jnp.mean((mu - target[idx]) ** 2)
+        mask = obs_mask[idx]
+        mu, _, v = ac.apply(params, obs_self[idx], obs_nbr[idx], mask)
+        err = (mu - target[idx]) ** 2
+        if conflict_weight != 1.0:
+            # round-4 (w3 diagnosis): the det clone's per-component RMS
+            # error (~0.055 at loss 3e-3) is the same size as the expert's
+            # early dodge labels at conflict states, so the dodge drowns in
+            # approximation error and the mean policy flies straight into
+            # the crossing (runs/w3_r3, scripts/w3_diag.py). Upweight
+            # samples with any flagged VO neighbor: cruise states are easy
+            # and abundant; conflict states carry the behavior that
+            # decides episodes.
+            w = 1.0 + (conflict_weight - 1.0) * jnp.any(mask, -1)
+            return jnp.sum(w[:, None] * err) / (3.0 * jnp.sum(w))
+        return jnp.mean(err)
 
     @functools.partial(jax.jit, static_argnames="steps")
     def fit(params, data, n_valid, key, steps):

@@ -125,8 +125,12 @@ def v_loss_fn(ac: ActorCritic, params, batch: AgentData,
 
 
 def update_one_agent(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
-                     state: PPOState, batch: AgentData):
-    """The per-agent inner loops (multi_ppo.py:355-376)."""
+                     state: PPOState, batch: AgentData, key=None):
+    """The per-agent inner loops (multi_ppo.py:355-376).
+
+    cfg.minibatch > 0: each iteration optimizes a fresh random contiguous
+    dynamic-slice window of the flattened batch instead of all [B] samples
+    (see TrainConfig.minibatch — the E-scaling fast path)."""
     pi_grad = jax.value_and_grad(
         functools.partial(pi_loss_fn, ac), has_aux=True)
     v_grad = jax.value_and_grad(functools.partial(v_loss_fn, ac))
@@ -136,13 +140,28 @@ def update_one_agent(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
             state.params, batch.obs_self, batch.obs_nbr, batch.obs_mask,
             batch.act, method=ActorCritic.logp))
 
+    B = batch.act.shape[0]
+    mb = cfg.minibatch if 0 < cfg.minibatch < B else 0
+    if mb and key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+
+    def sub_batch(i, salt):
+        if not mb:
+            return batch
+        off = jax.random.randint(
+            jax.random.fold_in(jax.random.fold_in(key, salt), i),
+            (), 0, B - mb + 1)
+        return AgentData(*[
+            jax.lax.dynamic_slice_in_dim(x, off, mb, 0) for x in batch])
+
     def pi_cond(c):
         i, _, _, stopped, _, _, _ = c
         return (i < cfg.train_pi_iters) & (~stopped)
 
     def pi_body(c):
         i, params, opt, _, first_loss, _, iters = c
-        (loss, (kl, _)), grads = pi_grad(params, batch, cfg.clip_ratio,
+        (loss, (kl, _)), grads = pi_grad(params, sub_batch(i, 0),
+                                         cfg.clip_ratio,
                                          cfg.adv_norm, cfg.ent_coef)
         stop = kl > cfg.target_kl
         updates, new_opt = pi_tx.update(grads, opt, params)
@@ -159,9 +178,9 @@ def update_one_agent(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
         pi_cond, pi_body, init
     )
 
-    def v_body(_, c):
+    def v_body(i, c):
         params, opt, _ = c
-        loss, grads = v_grad(params, batch, cfg.value_clip)
+        loss, grads = v_grad(params, sub_batch(i, 1), cfg.value_clip)
         updates, new_opt = vf_tx.update(grads, opt, params)
         return (optax.apply_updates(params, updates), new_opt, loss)
 
@@ -185,7 +204,7 @@ def ppo_update(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
         batch = AgentData(
             *[x.reshape((-1,) + x.shape[3:]) for x in data])
         state, (pl, vl, kl, it) = update_one_agent(
-            ac, cfg, pi_tx, vf_tx, state, batch)
+            ac, cfg, pi_tx, vf_tx, state, batch, key=key)
         return state, UpdateMetrics(
             pi_loss=pl[None], v_loss=vl[None], kl=kl[None],
             pi_iters=it[None])
@@ -210,7 +229,8 @@ def ppo_update(ac: ActorCritic, cfg: TrainConfig, pi_tx, vf_tx,
         r = perm[k]
         batch = AgentData(*[flatten_agent(x, r) for x in data])
         state, (pl, vl, kl, it) = update_one_agent(
-            ac, cfg, pi_tx, vf_tx, state, batch)
+            ac, cfg, pi_tx, vf_tx, state, batch,
+            key=jax.random.fold_in(key, k))
         metrics = UpdateMetrics(
             pi_loss=metrics.pi_loss.at[k].set(pl),
             v_loss=metrics.v_loss.at[k].set(vl),

@@ -63,6 +63,7 @@ def _build_cfg(args) -> "Config":
         adv_norm=args.adv_norm, ent_coef=args.ent_coef,
         action_mode=args.action_mode, fresh_logp=args.fresh_logp,
         value_clip=args.value_clip, batched_update=args.batched_update,
+        minibatch=args.minibatch,
     )
     return Config(env=env, model=model, train=train,
                   mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
@@ -112,11 +113,13 @@ def cmd_train(args) -> int:
             action_mode=cfg.train.action_mode,
             explore_std=args.bc_noise, expert_margin=args.bc_margin,
             dagger_rounds=args.bc_dagger, demo_steps=args.bc_demo_steps,
+            conflict_weight=args.bc_conflict_weight,
         )
         trainer.ppo_state = trainer.ppo_state._replace(params=params)
         print(f"BC warm start: {args.bc_steps} steps "
               f"(dagger={args.bc_dagger}, noise={args.bc_noise}, "
-              f"margin={args.bc_margin}), final loss {bc_loss:.4f}")
+              f"margin={args.bc_margin}, "
+              f"cw={args.bc_conflict_weight}), final loss {bc_loss:.4f}")
 
     n_dev = len(jax.devices())
     if cfg.mesh.data * cfg.mesh.model > 1 or (args.auto_mesh and n_dev > 1):
@@ -451,6 +454,9 @@ def main(argv=None) -> int:
     t.add_argument("--bc_margin", type=float, default=None,
                    help="RVO expert safety-margin inflation for demos")
     t.add_argument("--bc_demo_steps", type=int, default=200)
+    t.add_argument("--bc_conflict_weight", type=float, default=1.0,
+                   help="upweight BC samples with flagged VO neighbors "
+                        "(the dodge states that decide episodes; 1 = off)")
     t.add_argument("--adv_norm", action="store_true",
                    help="standardize advantages (extension; off = reference)")
     t.add_argument("--ent_coef", type=float, default=0.0)
@@ -460,6 +466,10 @@ def main(argv=None) -> int:
                         "pi_iters==0 dropped-update pathology; off = reference)")
     t.add_argument("--value_clip", type=float, default=0.0,
                    help="PPO2-style value clipping range (0 = reference MSE)")
+    t.add_argument("--minibatch", type=int, default=0,
+                   help="pi/v iteration minibatch size (0 = reference "
+                        "full-batch; >0 = random contiguous windows, the "
+                        "fast path at num_envs >= 1024)")
     t.add_argument("--batched_update", action="store_true",
                    help="fast mode: one joint PPO update over all agents "
                         "instead of the sequential per-agent schedule")

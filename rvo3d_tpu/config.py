@@ -135,6 +135,15 @@ class TrainConfig:
     # ~N x fewer GRU passes at N x the batch, same clipped-surrogate math.
     # False = reference-faithful sequential schedule.
     batched_update: bool = False
+    # Minibatch size for the pi/v inner iterations (0 = reference-faithful
+    # full-batch: every iteration consumes ALL [T*E] samples, so update
+    # cost grows linearly with num_envs and dominates epochs at E >= 1024).
+    # When > 0, each iteration optimizes a random CONTIGUOUS
+    # dynamic-slice of the flattened batch — gather-free by construction
+    # (the axon TPU backend miscompiles small-gather lowerings, see
+    # env/state.py:_wp_select), and contiguous [k*E] windows still span
+    # every env lane. KL early-stop is then measured per-minibatch.
+    minibatch: int = 0
     # 'increment': the reference trainer's velocity-anchored mapping
     #   abs = acceler*a + vel (multi_ppo.py:202-205) — NOTE this adds the
     #   velocity VECTOR to a [acc, Δyaw, Δpitch] command, which strips the

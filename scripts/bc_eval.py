@@ -41,6 +41,7 @@ def main():
     trainer = Trainer(cfg, wd.spec())
     dagger = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     margin = float(sys.argv[7]) if len(sys.argv) > 7 else 0.4
+    cw = float(sys.argv[8]) if len(sys.argv) > 8 else 1.0
     def on_round(r, p_round, loss_r):
         m = evaluate(trainer.ac, p_round, trainer.world, cfg.env,
                      jax.random.PRNGKey(0), num_episodes=8, num_lanes=8,
@@ -53,10 +54,10 @@ def main():
         jax.random.PRNGKey(8), num_envs=32, train_steps=bc_steps,
         expert=expert, action_mode="direct", explore_std=explore_std,
         demo_steps=400, dagger_rounds=dagger, expert_margin=margin,
-        on_round=on_round)
+        conflict_weight=cw, on_round=on_round)
     print(f"BC: {bc_steps} steps, explore_std={explore_std}, "
-          f"dagger={dagger}, margin={margin}, final loss {loss:.5f}",
-          flush=True)
+          f"dagger={dagger}, margin={margin}, cw={cw}, "
+          f"final loss {loss:.5f}", flush=True)
 
     for std in (1e-3, 1.0):
         m = evaluate(trainer.ac, params, trainer.world, cfg.env,

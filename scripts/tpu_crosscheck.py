@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import functools
+import json
 import os
 import subprocess
 import sys
@@ -104,11 +105,13 @@ def golden(path: str):
     print(f"golden written: {path}", flush=True)
 
 
-def check(path: str) -> int:
+def check(path: str, rows: list | None = None) -> int:
     import numpy as np
 
     ref = np.load(path)
     bad = 0
+    if rows is None:
+        rows = []
     BUCKETS = np.array([np.pi / 18, np.pi / 6, np.pi / 3, np.pi / 2])
     for w in WORLDS:
         got = compute(w)
@@ -152,9 +155,14 @@ def check(path: str) -> int:
                 detail = f"max_abs_err={err:.2e}"
             status = "ok " if ok else "FAIL"
             print(f"  {status} {w}/{k:9s} {detail}", flush=True)
+            rows.append({"world": w, "check": k, "ok": ok,
+                         "detail": detail})
             bad += 0 if ok else 1
         # the point of it all: the expert must finish on TPU like on CPU
-        if got["fin"][-1].all():
+        completes = bool(got["fin"][-1].all())
+        rows.append({"world": w, "check": "expert_completes",
+                     "ok": completes, "detail": ""})
+        if completes:
             print(f"  ok  {w} expert completes (all drones finish)")
         else:
             print(f"  FAIL {w} expert does NOT complete on this backend")
@@ -177,8 +185,19 @@ def main():
     import jax
 
     print(f"checking on: {jax.devices()}", flush=True)
-    bad = check(gfile)
-    print("CROSSCHECK " + ("PASS" if bad == 0 else f"FAIL ({bad})"))
+    rows: list = []
+    bad = check(gfile, rows)
+    verdict = "PASS" if bad == 0 else f"FAIL ({bad})"
+    print("CROSSCHECK " + verdict)
+    # committed evidence (VERDICT r3: the PASS existed only as prose) —
+    # repo-root JSON like the BENCH_rNN.json pattern
+    out = {"device": str(jax.devices()[0]), "verdict": verdict,
+           "failed_checks": bad, "checks": rows}
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tpu_crosscheck.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", flush=True)
     sys.exit(1 if bad else 0)
 
 

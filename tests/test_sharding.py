@@ -82,3 +82,33 @@ def test_sharded_train_epoch(mesh8, reference_worlds_available):
         m = trainer.run_epoch()
     assert np.isfinite(m["mean_step_reward"])
     assert all(np.isfinite(v) for v in m["v_loss"])
+
+
+@pytest.mark.slow
+def test_sharded_epoch_metrics_match_unsharded(mesh8):
+    """Sharded-vs-unsharded METRIC equality at full model width (VERDICT r3
+    item 8): the same seed, world and train config must produce the same
+    epoch metrics whether the epoch runs on the (4x2) mesh (env lanes dp
+    over 'data', MLP/GRU hidden dims tp over 'model') or on one device —
+    collective reduction order is the only permitted difference. Reduced
+    E/T keep CI time sane; __graft_entry__.dryrun_multichip(full_size=True)
+    runs the flagship-size variant of the same comparison."""
+    import __graft_entry__ as ge
+
+    w = ge._flagship_world()
+    from rvo3d_tpu.env.state import make_world_spec
+
+    world = make_world_spec(w["waypoints_list"], w["building_list"],
+                            w["map_size"])
+    cfg = Config(
+        env=EnvParams(num_drones=w["drone_num"]),
+        model=ModelConfig(),   # full-width biGRU-256 + (256,256) heads
+        train=TrainConfig(steps_per_epoch=12, train_pi_iters=2,
+                          train_v_iters=2, num_envs=16, max_ep_len=50),
+    )
+    sharded = ge._epoch_metrics(cfg, world, mesh8)
+    ref = ge._epoch_metrics(cfg, world, mesh=None)
+    for k in ("mean_step_reward", "pi_loss", "v_loss", "kl"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[k], np.float64), np.asarray(ref[k], np.float64),
+            rtol=1e-3, atol=1e-3, err_msg=f"metric {k}")
