@@ -91,7 +91,35 @@ def cmd_train(args) -> int:
         json.dump(to_dict(cfg), f, indent=2)
     print(f"run dir: {run_dir}")
 
-    trainer = Trainer(cfg, wd.spec())
+    # multi-scenario training (BASELINE ladder rung 5's learner half):
+    # lane e steps scenario world_idx[e]; every scenario must share the
+    # agent count N (static shape). 'name:rev' = route-reversed variant.
+    lane_specs = None
+    if args.multi_worlds:
+        import numpy as np
+
+        from rvo3d_tpu.worlds import load_world
+        from rvo3d_tpu.worlds.multi import (reverse_routes, stack_worlds,
+                                            worlds_for_lanes)
+
+        lane_specs = []
+        for tok in args.multi_worlds.split(","):
+            rev = tok.endswith(":rev")
+            sp = load_world(tok[:-4] if rev else tok).spec()
+            lane_specs.append((tok, reverse_routes(sp) if rev else sp))
+        if any(sp.num_drones != wd.drone_num for _, sp in lane_specs):
+            raise SystemExit(
+                "--multi_worlds requires every scenario to share "
+                f"--world's drone count ({wd.drone_num})")
+        idx = np.arange(cfg.train.num_envs) % len(lane_specs)
+        lane_worlds = worlds_for_lanes(
+            stack_worlds([sp for _, sp in lane_specs]), idx)
+        print("multi-scenario lanes: "
+              + ", ".join(f"{tok} x{int((idx == i).sum())}"
+                          for i, (tok, _) in enumerate(lane_specs)))
+        trainer = Trainer(cfg, wd.spec(), lane_worlds=lane_worlds)
+    else:
+        trainer = Trainer(cfg, wd.spec())
 
     if args.resume:
         # elastic restart: '--resume auto' continues from this run dir's
@@ -105,21 +133,28 @@ def cmd_train(args) -> int:
     elif args.bc_steps:
         from rvo3d_tpu.algo.bc import bc_pretrain
 
-        params, bc_loss = bc_pretrain(
-            trainer.ac, trainer.ppo_state.params, trainer.world, cfg.env,
-            jax.random.PRNGKey(cfg.train.seed + 1),
-            num_envs=min(cfg.train.num_envs, 32),
-            train_steps=args.bc_steps, expert=args.bc_expert,
-            action_mode=cfg.train.action_mode,
-            explore_std=args.bc_noise, expert_margin=args.bc_margin,
-            dagger_rounds=args.bc_dagger, demo_steps=args.bc_demo_steps,
-            conflict_weight=args.bc_conflict_weight,
-        )
+        # multi-scenario: clone each scenario in turn, carrying params —
+        # the later scenarios' DAgger rounds correct any drift the earlier
+        # fit leaves on their state distributions
+        bc_targets = ([(tok, sp) for tok, sp in lane_specs]
+                      if lane_specs else [(args.world, trainer.world)])
+        params = trainer.ppo_state.params
+        for i, (tok, sp) in enumerate(bc_targets):
+            params, bc_loss = bc_pretrain(
+                trainer.ac, params, sp, cfg.env,
+                jax.random.PRNGKey(cfg.train.seed + 1 + i),
+                num_envs=min(cfg.train.num_envs, 32),
+                train_steps=args.bc_steps, expert=args.bc_expert,
+                action_mode=cfg.train.action_mode,
+                explore_std=args.bc_noise, expert_margin=args.bc_margin,
+                dagger_rounds=args.bc_dagger, demo_steps=args.bc_demo_steps,
+                conflict_weight=args.bc_conflict_weight,
+            )
+            print(f"BC warm start [{tok}]: {args.bc_steps} steps "
+                  f"(dagger={args.bc_dagger}, noise={args.bc_noise}, "
+                  f"margin={args.bc_margin}, "
+                  f"cw={args.bc_conflict_weight}), final loss {bc_loss:.4f}")
         trainer.ppo_state = trainer.ppo_state._replace(params=params)
-        print(f"BC warm start: {args.bc_steps} steps "
-              f"(dagger={args.bc_dagger}, noise={args.bc_noise}, "
-              f"margin={args.bc_margin}, "
-              f"cw={args.bc_conflict_weight}), final loss {bc_loss:.4f}")
 
     n_dev = len(jax.devices())
     if cfg.mesh.data * cfg.mesh.model > 1 or (args.auto_mesh and n_dev > 1):
@@ -144,6 +179,10 @@ def cmd_train(args) -> int:
     # experiences arrivals early at a fat threshold, then tightens to the
     # reference's 0.4 — each stage recompiles once and reuses the PPO state.
     if args.curriculum:
+        if lane_specs:
+            raise SystemExit("--curriculum and --multi_worlds are not "
+                             "combinable (the curriculum path rebuilds the "
+                             "trainer per stage on the single world)")
         import dataclasses as _dc
         import dataclasses as _dc2
 
@@ -229,17 +268,22 @@ def cmd_train(args) -> int:
     results_path = os.path.join(run_dir, "results.txt")
 
     def eval_fn(epoch, state):
-        m = evaluate(trainer.ac, state.params, trainer.world, cfg.env,
-                     jax.random.PRNGKey(epoch), num_episodes=args.eval_episodes,
-                     num_lanes=8, std_factor=cfg.train.std_factor_eval,
-                     action_mode=cfg.train.action_mode)
-        line = (f"epoch {epoch}: success {m['success_rate']:.2%} "
-                f"EpLen {m['mean_ep_len']}±{m['std_ep_len']} "
-                f"speed {m['mean_speed']}±{m['std_speed']}"
-                + _eval_suffix(m))
-        print(line)
-        with open(results_path, "a") as f:
-            f.write(line + "\n")
+        # multi-scenario: one results.txt line per scenario population
+        targets = lane_specs or [(None, trainer.world)]
+        for tok, sp in targets:
+            m = evaluate(trainer.ac, state.params, sp, cfg.env,
+                         jax.random.PRNGKey(epoch),
+                         num_episodes=args.eval_episodes,
+                         num_lanes=8, std_factor=cfg.train.std_factor_eval,
+                         action_mode=cfg.train.action_mode)
+            tag = f" [{tok}]" if tok is not None else ""
+            line = (f"epoch {epoch}{tag}: success {m['success_rate']:.2%} "
+                    f"EpLen {m['mean_ep_len']}±{m['std_ep_len']} "
+                    f"speed {m['mean_speed']}±{m['std_speed']}"
+                    + _eval_suffix(m))
+            print(line)
+            with open(results_path, "a") as f:
+                f.write(line + "\n")
 
     trainer.train(epochs=args.train_epoch, log_fn=logger.log,
                   checkpoint_fn=save, eval_fn=eval_fn,
@@ -466,6 +510,11 @@ def main(argv=None) -> int:
                         "pi_iters==0 dropped-update pathology; off = reference)")
     t.add_argument("--value_clip", type=float, default=0.0,
                    help="PPO2-style value clipping range (0 = reference MSE)")
+    t.add_argument("--multi_worlds", default=None,
+                   help="comma list of world names ('name:rev' = route-"
+                        "reversed variant) sharing --world's drone count; "
+                        "lane e trains scenario e %% K and eval reports "
+                        "each population separately")
     t.add_argument("--minibatch", type=int, default=0,
                    help="pi/v iteration minibatch size (0 = reference "
                         "full-batch; >0 = random contiguous windows, the "

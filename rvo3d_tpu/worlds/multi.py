@@ -71,6 +71,21 @@ def stack_worlds(specs: Sequence[WorldSpec]) -> WorldSpec:
     )
 
 
+def reverse_routes(spec: WorldSpec) -> WorldSpec:
+    """Scenario variant with every route flown end-to-start (same map,
+    same buildings, same polyline length — a distinct traffic pattern for
+    multi-scenario training). Host-side: reverses only each drone's
+    n_points valid waypoints and re-pads by repeating the new last one,
+    so the padding invariant of make_world_spec is preserved."""
+    wps = np.asarray(spec.waypoints).copy()
+    npts = np.asarray(spec.n_points)
+    for i in range(wps.shape[0]):
+        k = int(npts[i])
+        wps[i, :k] = wps[i, :k][::-1]
+        wps[i, k:] = wps[i, k - 1]
+    return spec._replace(waypoints=jnp.asarray(wps))
+
+
 def worlds_for_lanes(stacked: WorldSpec, world_idx) -> WorldSpec:
     """Gather a per-lane WorldSpec (leaves [E, ...]) from a stacked spec.
 

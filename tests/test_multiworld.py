@@ -86,3 +86,31 @@ def test_multiworld_trainer_epoch():
     assert np.isfinite(m["mean_step_reward"])
     m2 = trainer.run_epoch()
     assert np.isfinite(m2["mean_step_reward"])
+
+
+def test_reverse_routes_preserves_padding_invariant():
+    """reverse_routes flips only the n_points valid waypoints and re-pads
+    by repeating the NEW last one (make_world_spec's invariant), leaving
+    n_points/route_len untouched — the scenario-variant generator behind
+    cli train --multi_worlds 'name:rev'."""
+    from rvo3d_tpu.worlds.multi import reverse_routes
+
+    # drone 0: 3 valid waypoints padded to 4; drone 1: 4 valid
+    spec = make_world_spec(
+        [[[0, 0, 1], [1, 0, 1], [2, 0, 1]],
+         [[5, 5, 1], [5, 6, 1], [5, 7, 1], [5, 8, 1]]],
+        [], [10, 10, 5])
+    rev = reverse_routes(spec)
+    w = np.asarray(rev.waypoints)
+    np.testing.assert_array_equal(w[0, :3], [[2, 0, 1], [1, 0, 1], [0, 0, 1]])
+    np.testing.assert_array_equal(w[0, 3], [0, 0, 1])     # re-padded
+    np.testing.assert_array_equal(
+        w[1], [[5, 8, 1], [5, 7, 1], [5, 6, 1], [5, 5, 1]])
+    np.testing.assert_array_equal(np.asarray(rev.n_points),
+                                  np.asarray(spec.n_points))
+    np.testing.assert_allclose(np.asarray(rev.route_len),
+                               np.asarray(spec.route_len))
+    # double reversal is identity
+    np.testing.assert_array_equal(
+        np.asarray(reverse_routes(rev).waypoints),
+        np.asarray(spec.waypoints))
