@@ -57,6 +57,12 @@ def make_eval_chunk(ac: ActorCritic, world: WorldSpec, p: EnvParams,
                     action_mode: str = "increment"):
     step_b = jax.vmap(functools.partial(step, world, p=p))
     observe_b = jax.vmap(functools.partial(observe, world, p=p))
+    # p.noise: per-step injected control noise (drone.py:79-82,163-165
+    # semantics — position integrates vel+noise, stored vel stays clean),
+    # so eval episodes become genuinely distinct instead of one replicated
+    # deterministic trajectory (the ±0.0-std degeneracy, RESULTS.md)
+    step_noise_b = jax.vmap(
+        lambda s, a, k: step(world, s, a, p, noise_key=k))
 
     def reset_lanes(env_state, mask):
         fresh = reset(world, p, env_state.pos.dtype)
@@ -74,7 +80,7 @@ def make_eval_chunk(ac: ActorCritic, world: WorldSpec, p: EnvParams,
             functools.partial(_body, params), carry, None, length=chunk)
 
     def _body(params, c: EvalCarry, _):
-        rng, akey = jax.random.split(c.rng)
+        rng, akey, nkey = jax.random.split(c.rng, 3)
         obs_self, obs_nbr, obs_mask = c.obs
         ps = ac.apply(params, akey, obs_self, obs_nbr, obs_mask,
                       std_factor, method=ActorCritic.step)
@@ -84,7 +90,11 @@ def make_eval_chunk(ac: ActorCritic, world: WorldSpec, p: EnvParams,
         else:
             abs_action = acceler_vel * a + c.env_state.vel
 
-        env_state, out = step_b(c.env_state, abs_action)
+        if p.noise:
+            nkeys = jax.random.split(nkey, c.env_state.pos.shape[0])
+            env_state, out = step_noise_b(c.env_state, abs_action, nkeys)
+        else:
+            env_state, out = step_b(c.env_state, abs_action)
         speed = jnp.mean(geo.norm3(env_state.vel), axis=-1)       # [E]
         ep_len = c.ep_len + 1
         speed_sum = c.speed_sum + speed

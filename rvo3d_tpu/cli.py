@@ -305,11 +305,17 @@ def cmd_eval(args) -> int:
 
     wd = load_world(args.world)
     env_p = EnvParams(num_drones=wd.drone_num)
+    import dataclasses
+
     if args.goal_threshold is not None:
         # score a mid-curriculum policy at its trained arrival threshold
-        import dataclasses
-
         env_p = dataclasses.replace(env_p, goal_threshold=args.goal_threshold)
+    if args.noise:
+        # robustness eval: injected control noise makes the episodes
+        # genuinely distinct (the deterministic env + identical lane resets
+        # otherwise replicate ~1 episode — see RESULTS.md degeneracy note)
+        env_p = dataclasses.replace(env_p, noise=True,
+                                    control_std=args.control_std)
 
     if args.torch_checkpoint:
         from rvo3d_tpu.utils.torch_import import load_reference_policy
@@ -328,7 +334,8 @@ def cmd_eval(args) -> int:
         trainer = Trainer(cfg, wd.spec())
         ckpt = args.checkpoint if args.checkpoint.endswith("ckpt") else \
             os.path.join(args.checkpoint, "ckpt")
-        state, epoch = restore_checkpoint(ckpt, trainer.ppo_state)
+        state, epoch = restore_checkpoint(ckpt, trainer.ppo_state,
+                                          epoch=args.ckpt_epoch)
         params = state.params
         ac = trainer.ac
         args.action_mode = cfg.train.action_mode  # match the training mapping
@@ -338,7 +345,9 @@ def cmd_eval(args) -> int:
                  num_episodes=args.episodes, num_lanes=args.lanes,
                  max_ep_len=args.max_ep_len, acceler_vel=args.acceler_vel,
                  std_factor=args.std_factor, action_mode=args.action_mode)
-    line = (f"world={args.world} success_rate={m['success_rate']:.2%} "
+    noise_tag = (f" noise=on(std={args.control_std})" if args.noise else "")
+    line = (f"world={args.world}{noise_tag} "
+            f"success_rate={m['success_rate']:.2%} "
             f"EpLen={m['mean_ep_len']}±{m['std_ep_len']} "
             f"speed={m['mean_speed']}±{m['std_speed']} "
             f"ret0={m['mean_ret0']:.2f} ({m['episodes']} episodes"
@@ -557,6 +566,12 @@ def main(argv=None) -> int:
                    help="override arrival threshold (e.g. to score a "
                         "mid-curriculum checkpoint at its trained stage)")
     e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--ckpt_epoch", type=int, default=None,
+                   help="checkpoint epoch to load (default: latest)")
+    e.add_argument("--noise", action="store_true",
+                   help="inject per-step control noise (EnvParams.noise, "
+                        "drone.py:79-82) so eval episodes are distinct")
+    e.add_argument("--control_std", type=float, default=0.06)
     e.add_argument("--results_file", default=None)
     e.add_argument("--action_mode", default="increment",
                    choices=["increment", "direct"])

@@ -118,6 +118,51 @@ def main():
     print(f"PPO epoch (E=32, T=300, 8 drones): {dt:.2f}s "
           f"({300*32/dt:,.0f} env-steps/s incl. 8x(50pi+50v) updates)")
 
+    # 4. w2-size train epoch (the runs/w2_r3b configuration): rollout vs
+    # update wall-clock split — the measured explanation of the gap
+    # between env-only stepping (~50M steps/s) and full training
+    # (~3-4k steps/s at E=256), VERDICT r3 item 5 — plus a profiler trace.
+    from rvo3d_tpu.algo.rollout import rollout_epoch
+    from rvo3d_tpu.utils.profiler import trace
+    from rvo3d_tpu.worlds import load_world
+
+    wd2 = load_world("world_2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for tag, E, extra in (
+        ("E256_reference_schedule", 256, {}),
+        ("E4096_minibatch_batched", 4096,
+         {"minibatch": 32768, "batched_update": True}),
+    ):
+        cfg2 = Config(
+            env=EnvParams(num_drones=wd2.drone_num, safe_rewards=True),
+            model=ModelConfig(log_std_init=-2.3),
+            train=TrainConfig(steps_per_epoch=300, num_envs=E,
+                              train_pi_iters=20, train_v_iters=50,
+                              target_kl=0.01, pi_lr=1e-6,
+                              action_mode="direct", **extra))
+        tr2 = Trainer(cfg2, wd2.spec())
+        roll = jax.jit(lambda params, carry, _t=tr2, _c=cfg2: rollout_epoch(
+            _t.ac, _t.world, _c.env, _c.train, params, carry))
+        dt_roll = time_fn(roll, tr2.ppo_state.params, tr2.carry)
+        tr2.run_epoch()
+        t0 = time.perf_counter()
+        tr2.run_epoch()
+        dt_full = time.perf_counter() - t0
+        steps = 300 * E
+        results[f"w2_{tag}"] = {
+            "rollout_seconds": round(dt_roll, 3),
+            "full_epoch_seconds": round(dt_full, 3),
+            "update_seconds_approx": round(dt_full - dt_roll, 3),
+            "env_steps_per_sec_full": round(steps / dt_full, 1),
+            "env_steps_per_sec_rollout_only": round(steps / dt_roll, 1),
+        }
+        print(f"w2 {tag}: rollout {dt_roll:.2f}s, full {dt_full:.2f}s "
+              f"-> {steps / dt_full:,.0f} env-steps/s full epoch")
+        if tag == "E256_reference_schedule":
+            with trace(os.path.join(repo, "profiles", "w2_train_epoch")):
+                tr2.run_epoch()
+            print("profiler trace: profiles/w2_train_epoch/")
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "bench_details.json"), "w") as f:
         json.dump(results, f, indent=2)
