@@ -60,6 +60,13 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
     behavior_fn(obs_self, obs_nbr, obs_mask) -> action mean, if given,
     DRIVES the rollout (true DAgger: visit the clone's own states) while
     the expert still provides the labels."""
+    if p.noise:
+        # demo collection uses DART explore_std for state-distribution
+        # widening, not env control noise (whose step path needs a key);
+        # a --train_noise run still clones on the clean dynamics
+        import dataclasses
+
+        p = dataclasses.replace(p, noise=False)
 
     observe_b = jax.vmap(functools.partial(observe, world, p=p))
     step_b = jax.vmap(functools.partial(step, world, p=p))

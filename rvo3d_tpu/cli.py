@@ -48,7 +48,9 @@ def _build_cfg(args) -> "Config":
                     mov_p_dest=args.p_dest,
                     mov_p_way=args.p_way,
                     mov_p_progress=args.p_progress,
-                    safe_rewards=not args.unsafe_rewards)
+                    safe_rewards=not args.unsafe_rewards,
+                    noise=getattr(args, "train_noise", False),
+                    control_std=getattr(args, "train_control_std", 0.06))
     model = ModelConfig(rnn_hidden_dim=args.rnn_hidden_dim,
                         rnn_mode=args.rnn_mode,
                         log_std_init=args.log_std_init,
@@ -519,6 +521,12 @@ def main(argv=None) -> int:
                         "pi_iters==0 dropped-update pathology; off = reference)")
     t.add_argument("--value_clip", type=float, default=0.0,
                    help="PPO2-style value clipping range (0 = reference MSE)")
+    t.add_argument("--train_noise", action="store_true",
+                   help="inject per-step control noise during training "
+                        "rollouts (EnvParams.noise, drone.py:79-82) — "
+                        "robustifies the learned policy against the noisy "
+                        "eval (--noise); off = reference default")
+    t.add_argument("--train_control_std", type=float, default=0.06)
     t.add_argument("--multi_worlds", default=None,
                    help="comma list of world names ('name:rev' = route-"
                         "reversed variant) sharing --world's drone count; "
