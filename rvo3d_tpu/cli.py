@@ -123,16 +123,26 @@ def cmd_train(args) -> int:
     else:
         trainer = Trainer(cfg, wd.spec())
 
+    resumed = False
     if args.resume:
         # elastic restart: '--resume auto' continues from this run dir's
-        # latest checkpoint if one exists (fresh start otherwise)
+        # latest checkpoint if one exists (fresh start otherwise). A ckpt
+        # dir may exist yet hold no steps (a run that died before its
+        # first save) — auto mode must fall through to a fresh start
+        # then, not crash (measured: runs/w8_r4 device-fault rerun).
         resume_dir = (os.path.join(run_dir, "ckpt")
                       if args.resume == "auto" else args.resume)
         if args.resume != "auto" or os.path.isdir(resume_dir):
-            trainer.ppo_state, start = restore_checkpoint(
-                resume_dir, trainer.ppo_state)
-            print(f"resumed from {resume_dir} @ epoch {start}")
-    elif args.bc_steps:
+            try:
+                trainer.ppo_state, start = restore_checkpoint(
+                    resume_dir, trainer.ppo_state)
+                resumed = True
+                print(f"resumed from {resume_dir} @ epoch {start}")
+            except FileNotFoundError:
+                if args.resume != "auto":
+                    raise
+                print(f"resume auto: no steps in {resume_dir}; fresh start")
+    if not resumed and args.bc_steps:
         from rvo3d_tpu.algo.bc import bc_pretrain
 
         # multi-scenario: clone each scenario in turn, carrying params —
