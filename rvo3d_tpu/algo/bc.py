@@ -36,7 +36,7 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
                   expert: str = "waypoint", action_mode: str = "increment",
                   explore_std: float = 0.0,
                   expert_margin: float | None = None,
-                  behavior_fn=None):
+                  behavior_fn=None, expert_slowdown: bool = False):
     """Roll an analytic expert ('waypoint' = pure tracking, 'rvo' = the
     classic cone-dodging controller); returns (obs_self, obs_nbr, obs_mask,
     target) with leading axis [steps*num_envs*N]. In 'direct' mode the
@@ -76,6 +76,8 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
         from rvo3d_tpu.env.rvo_policy import rvo_controller
 
         kw = {} if expert_margin is None else {"margin": expert_margin}
+        if expert_slowdown:
+            kw["slowdown"] = True
         expert_fn = jax.vmap(lambda st: rvo_controller(st, world, p, **kw))
     else:
         expert_fn = functools.partial(waypoint_controller, world=world,
@@ -147,6 +149,7 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
                 action_mode: str = "increment", explore_std: float = 0.0,
                 expert_margin: float | None = None,
                 dagger_rounds: int = 0, conflict_weight: float = 1.0,
+                expert_slowdown: bool = False,
                 on_round=None) -> Tuple[dict, float]:
     """Behavior cloning with optional DAgger iterations.
 
@@ -209,7 +212,7 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
     k_demo, k_train, key = jax.random.split(key, 3)
     new = collect_demos(world, p, num_envs, demo_steps, k_demo,
                         cruise_speed, expert, action_mode, explore_std,
-                        expert_margin)
+                        expert_margin, expert_slowdown=expert_slowdown)
     data = tuple(jnp.zeros((cap,) + x.shape[1:], x.dtype) for x in new)
     data, n_valid = insert(data, new, jnp.int32(0))
     params, final_loss = fit(params, data, n_valid, k_train, train_steps)
@@ -226,7 +229,8 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
 
         new = collect_demos(world, p, num_envs, demo_steps, k_demo,
                             cruise_speed, expert, action_mode, explore_std,
-                            expert_margin, behavior_fn=behavior_fn)
+                            expert_margin, behavior_fn=behavior_fn,
+                            expert_slowdown=expert_slowdown)
         data, n_valid = insert(data, new, n_valid)
         params, final_loss = fit(params, data, n_valid, k_train, train_steps)
         if on_round is not None:

@@ -161,6 +161,7 @@ def cmd_train(args) -> int:
                 explore_std=args.bc_noise, expert_margin=args.bc_margin,
                 dagger_rounds=args.bc_dagger, demo_steps=args.bc_demo_steps,
                 conflict_weight=args.bc_conflict_weight,
+                expert_slowdown=args.bc_slowdown,
             )
             print(f"BC warm start [{tok}]: {args.bc_steps} steps "
                   f"(dagger={args.bc_dagger}, noise={args.bc_noise}, "
@@ -519,6 +520,10 @@ def main(argv=None) -> int:
     t.add_argument("--bc_margin", type=float, default=None,
                    help="RVO expert safety-margin inflation for demos")
     t.add_argument("--bc_demo_steps", type=int, default=200)
+    t.add_argument("--bc_slowdown", action="store_true",
+                   help="RVO expert aims to LAND on the active waypoint "
+                        "when one step away (fixes the orbit limit cycle "
+                        "on world16_dense; breaks world_8 — per-world)")
     t.add_argument("--bc_conflict_weight", type=float, default=1.0,
                    help="upweight BC samples with flagged VO neighbors "
                         "(the dodge states that decide episodes; 1 = off)")

@@ -56,7 +56,8 @@ def _cone_blocked(pos, vel_cand, paa, rel, alpha, valid, delta_t):
 
 def rvo_velocity(world: WorldSpec, state: DroneState, p: EnvParams,
                  spacing: float = 0.25, min_speed: float = 0.0,
-                 vmax: float = 1.0, margin: float | None = None) -> jnp.ndarray:
+                 vmax: float = 1.0, margin: float | None = None,
+                 slowdown: bool = False) -> jnp.ndarray:
     """Choose per-drone collision-free velocities [N, 3].
 
     Beyond the reference's cone test (which is continuous-time), candidates
@@ -78,6 +79,19 @@ def rvo_velocity(world: WorldSpec, state: DroneState, p: EnvParams,
     radius = states12[:, 6]
     prio = states12[:, 7]
     des = states12[:, 8:11]
+    if slowdown:
+        # arrival slowdown (opt-in; the env's own des_vel is the
+        # reference's max-speed unit vector, drone.py:199-210): when one
+        # step from the active waypoint, aim to LAND on it instead of
+        # stepping across the goal ball. At dt=1 and speed ~1 a drone can
+        # overfly the 0.4-radius arrival ball every step and orbit
+        # forever — measured on world16_dense (drone 4, runs/bc_evals/
+        # expert_margin_sweep.txt); 15/16 drones arrive by luck of
+        # geometry, one never does.
+        tgt = state.current_des(world)
+        land = (tgt - pos) / p.dt
+        des = jnp.where(
+            (geo.norm3(land) < geo.norm3(des))[:, None], land, des)
 
     o_pos, o_vel = others[:, 0:3], others[:, 3:6]
     o_radius, o_prio = others[:, 6], others[:, 7]

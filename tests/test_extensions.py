@@ -182,3 +182,31 @@ def test_env_with_spheres_still_vmaps():
     state, out = env.step_batch(state, acts)
     assert state.sphere_pos.shape == (3, 1, 3)
     assert np.isfinite(np.asarray(out.reward)).all()
+
+
+def test_rvo_velocity_arrival_slowdown():
+    """slowdown=True aims to LAND on the active waypoint when one step
+    away, instead of the env's max-speed unit des_vel (drone.py:199-210)
+    which at dt=1 can overfly the 0.4 goal ball every step and orbit
+    forever (measured: world16_dense drone 4, gridlocked 500 steps at
+    every margin while 15/16 drones finished — runs/bc_evals/
+    expert_margin_sweep.txt). Off by default: world_8's recipe breaks
+    with it."""
+    from rvo3d_tpu.env.rvo_policy import rvo_velocity
+
+    # one drone 0.45 before its goal: full-speed des_vel overshoots to
+    # 0.55 on the far side; the landing velocity has norm 0.45
+    world = make_world_spec([[[1.0, 5.0, 2.0], [1.45, 5.0, 2.0]]], [],
+                            [20, 20, 5])
+    p = EnvParams(num_drones=1)
+    state = reset(world, p)
+    v_fast = rvo_velocity(world, state, p)
+    v_slow = rvo_velocity(world, state, p, slowdown=True)
+    n_fast = float(jnp.linalg.norm(v_fast[0]))
+    n_slow = float(jnp.linalg.norm(v_slow[0]))
+    # candidate grid spacing is 0.25: fast picks ~1.0, slow picks 0.5
+    assert n_fast >= 0.95, n_fast
+    assert n_slow <= 0.55, n_slow
+    # landed position is inside the goal threshold, overshoot is not
+    assert abs(1.0 + n_slow - 1.45) < p.goal_threshold
+    assert abs(1.0 + n_fast - 1.45) > p.goal_threshold
