@@ -164,9 +164,20 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
     (dagger_rounds+1) x one round's yield) with a traced valid-count, so
     every round reuses one compiled train fn — the naive concatenate-
     and-refit version recompiles per round (new leading dim), which costs
-    minutes per round on the remote-compile TPU path."""
+    minutes per round on the remote-compile TPU path.
+
+    `world` may be a SEQUENCE of WorldSpecs (multi-scenario training):
+    every round then collects demos from each scenario into ONE aggregate
+    set and fits jointly. Round-4 measurement (runs/w32_multi): fitting
+    scenarios SEQUENTIALLY (full BC on A, then full BC on B) leaves a
+    clone that PPO drifts between populations — per-scenario success
+    oscillated 0/100 % and never held both; a mixed set removes the
+    ordering bias."""
+    # NB WorldSpec is itself a NamedTuple — test the concrete type, not
+    # tuple-ness, or the spec's leaves get unpacked as "worlds"
+    worlds = [world] if isinstance(world, WorldSpec) else list(world)
     tx = optax.adam(lr)
-    round_n = demo_steps * num_envs * p.num_drones
+    round_n = demo_steps * num_envs * p.num_drones * len(worlds)
     cap = round_n * (dagger_rounds + 1)
 
     def loss_fn(params, data, idx):
@@ -204,34 +215,43 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
             body, (params, opt, key), None, length=steps)
         return params, losses[-1]
 
+    chunk_n = demo_steps * num_envs * p.num_drones   # one world's yield
+
     @jax.jit
     def insert(data, new, n_valid):
         return (tuple(jax.lax.dynamic_update_slice_in_dim(d, x, n_valid, 0)
-                      for d, x in zip(data, new)), n_valid + round_n)
+                      for d, x in zip(data, new)), n_valid + chunk_n)
 
-    k_demo, k_train, key = jax.random.split(key, 3)
-    new = collect_demos(world, p, num_envs, demo_steps, k_demo,
-                        cruise_speed, expert, action_mode, explore_std,
-                        expert_margin, expert_slowdown=expert_slowdown)
-    data = tuple(jnp.zeros((cap,) + x.shape[1:], x.dtype) for x in new)
-    data, n_valid = insert(data, new, jnp.int32(0))
+    def collect_round(data, n_valid, key, behavior_fn=None):
+        for w in worlds:
+            key, k_demo = jax.random.split(key)
+            new = collect_demos(w, p, num_envs, demo_steps, k_demo,
+                                cruise_speed, expert, action_mode,
+                                explore_std, expert_margin,
+                                behavior_fn=behavior_fn,
+                                expert_slowdown=expert_slowdown)
+            if data is None:
+                data = tuple(jnp.zeros((cap,) + x.shape[1:], x.dtype)
+                             for x in new)
+                n_valid = jnp.int32(0)
+            data, n_valid = insert(data, new, n_valid)
+        return data, n_valid
+
+    k_round, k_train, key = jax.random.split(key, 3)
+    data, n_valid = collect_round(None, None, k_round)
     params, final_loss = fit(params, data, n_valid, k_train, train_steps)
     if on_round is not None:
         on_round(0, params, float(final_loss))
 
     for r in range(dagger_rounds):
-        k_demo, k_train, key = jax.random.split(key, 3)
+        k_round, k_train, key = jax.random.split(key, 3)
         frozen = params
 
         def behavior_fn(obs_self, obs_nbr, obs_mask):
             mu, _, _ = ac.apply(frozen, obs_self, obs_nbr, obs_mask)
             return mu
 
-        new = collect_demos(world, p, num_envs, demo_steps, k_demo,
-                            cruise_speed, expert, action_mode, explore_std,
-                            expert_margin, behavior_fn=behavior_fn,
-                            expert_slowdown=expert_slowdown)
-        data, n_valid = insert(data, new, n_valid)
+        data, n_valid = collect_round(data, n_valid, k_round, behavior_fn)
         params, final_loss = fit(params, data, n_valid, k_train, train_steps)
         if on_round is not None:
             on_round(r + 1, params, float(final_loss))

@@ -145,29 +145,30 @@ def cmd_train(args) -> int:
     if not resumed and args.bc_steps:
         from rvo3d_tpu.algo.bc import bc_pretrain
 
-        # multi-scenario: clone each scenario in turn, carrying params —
-        # the later scenarios' DAgger rounds correct any drift the earlier
-        # fit leaves on their state distributions
-        bc_targets = ([(tok, sp) for tok, sp in lane_specs]
-                      if lane_specs else [(args.world, trainer.world)])
-        params = trainer.ppo_state.params
-        for i, (tok, sp) in enumerate(bc_targets):
-            params, bc_loss = bc_pretrain(
-                trainer.ac, params, sp, cfg.env,
-                jax.random.PRNGKey(cfg.train.seed + 1 + i),
-                num_envs=min(cfg.train.num_envs, 32),
-                train_steps=args.bc_steps, expert=args.bc_expert,
-                action_mode=cfg.train.action_mode,
-                explore_std=args.bc_noise, expert_margin=args.bc_margin,
-                dagger_rounds=args.bc_dagger, demo_steps=args.bc_demo_steps,
-                conflict_weight=args.bc_conflict_weight,
-                expert_slowdown=args.bc_slowdown,
-            )
-            print(f"BC warm start [{tok}]: {args.bc_steps} steps "
-                  f"(dagger={args.bc_dagger}, noise={args.bc_noise}, "
-                  f"margin={args.bc_margin}, "
-                  f"cw={args.bc_conflict_weight}), final loss {bc_loss:.4f}")
+        # multi-scenario: every BC/DAgger round collects demos from EVERY
+        # scenario into one aggregate set and fits jointly (sequential
+        # per-scenario fits left an ordering bias PPO amplified —
+        # runs/w32_multi oscillated 0/100 % per population)
+        bc_worlds = ([sp for _, sp in lane_specs]
+                     if lane_specs else trainer.world)
+        params, bc_loss = bc_pretrain(
+            trainer.ac, trainer.ppo_state.params, bc_worlds, cfg.env,
+            jax.random.PRNGKey(cfg.train.seed + 1),
+            num_envs=min(cfg.train.num_envs, 32),
+            train_steps=args.bc_steps, expert=args.bc_expert,
+            action_mode=cfg.train.action_mode,
+            explore_std=args.bc_noise, expert_margin=args.bc_margin,
+            dagger_rounds=args.bc_dagger, demo_steps=args.bc_demo_steps,
+            conflict_weight=args.bc_conflict_weight,
+            expert_slowdown=args.bc_slowdown,
+        )
         trainer.ppo_state = trainer.ppo_state._replace(params=params)
+        scen = (", ".join(tok for tok, _ in lane_specs)
+                if lane_specs else args.world)
+        print(f"BC warm start [{scen}]: {args.bc_steps} steps "
+              f"(dagger={args.bc_dagger}, noise={args.bc_noise}, "
+              f"margin={args.bc_margin}, "
+              f"cw={args.bc_conflict_weight}), final loss {bc_loss:.4f}")
 
     n_dev = len(jax.devices())
     if cfg.mesh.data * cfg.mesh.model > 1 or (args.auto_mesh and n_dev > 1):

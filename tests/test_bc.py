@@ -55,3 +55,36 @@ def test_bc_reduces_loss_and_moves(world, mode):
     s, out = env.reset1()
     mu, _, _ = ac.apply(params, out.obs_self, out.obs_nbr, out.obs_mask)
     assert float(mu[0, 0]) > 0.0, f"no acceleration from rest: {mu[0]}"
+
+
+def test_bc_pretrain_multi_world_mixed_set():
+    """bc_pretrain accepts a SEQUENCE of worlds and fits one aggregate
+    demo set (multi-scenario warm start; sequential per-scenario fits
+    left an ordering bias — runs/w32_multi). Checks the single-world path
+    is the degenerate case and params move."""
+    import jax
+
+    from rvo3d_tpu.algo.bc import bc_pretrain
+    from rvo3d_tpu.algo.trainer import Trainer
+    from rvo3d_tpu.config import Config, EnvParams, ModelConfig, TrainConfig
+    from rvo3d_tpu.worlds import load_world
+    from rvo3d_tpu.worlds.multi import reverse_routes
+
+    wd = load_world("world_3")
+    spec = wd.spec()
+    cfg = Config(env=EnvParams(num_drones=wd.drone_num),
+                 model=ModelConfig(rnn_hidden_dim=32,
+                                   hidden_sizes_ac=(32, 32),
+                                   hidden_sizes_v=(32, 32)),
+                 train=TrainConfig(action_mode="direct", num_envs=4))
+    tr = Trainer(cfg, spec)
+    params, loss = bc_pretrain(
+        tr.ac, tr.ppo_state.params, [spec, reverse_routes(spec)], cfg.env,
+        jax.random.PRNGKey(0), num_envs=4, demo_steps=10, train_steps=20,
+        expert="rvo", action_mode="direct", dagger_rounds=1)
+    assert np.isfinite(loss)
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(tr.ppo_state.params),
+                        jax.tree_util.tree_leaves(params)))
+    assert moved
