@@ -318,6 +318,13 @@ def cmd_eval(args) -> int:
     from rvo3d_tpu.worlds import load_world
 
     wd = load_world(args.world)
+    eval_spec = wd.spec()
+    if getattr(args, "reverse", False):
+        # score the route-reversed scenario population of a
+        # --multi_worlds 'name:rev' training run
+        from rvo3d_tpu.worlds.multi import reverse_routes
+
+        eval_spec = reverse_routes(eval_spec)
     env_p = EnvParams(num_drones=wd.drone_num)
     import dataclasses
 
@@ -355,11 +362,13 @@ def cmd_eval(args) -> int:
         args.action_mode = cfg.train.action_mode  # match the training mapping
         print(f"evaluating epoch {epoch} (action_mode={args.action_mode})")
 
-    m = evaluate(ac, params, wd.spec(), env_p, jax.random.PRNGKey(args.seed),
+    m = evaluate(ac, params, eval_spec, env_p, jax.random.PRNGKey(args.seed),
                  num_episodes=args.episodes, num_lanes=args.lanes,
                  max_ep_len=args.max_ep_len, acceler_vel=args.acceler_vel,
                  std_factor=args.std_factor, action_mode=args.action_mode)
     noise_tag = (f" noise=on(std={args.control_std})" if args.noise else "")
+    if getattr(args, "reverse", False):
+        noise_tag = " routes=reversed" + noise_tag
     line = (f"world={args.world}{noise_tag} "
             f"success_rate={m['success_rate']:.2%} "
             f"EpLen={m['mean_ep_len']}±{m['std_ep_len']} "
@@ -596,6 +605,9 @@ def main(argv=None) -> int:
                    help="inject per-step control noise (EnvParams.noise, "
                         "drone.py:79-82) so eval episodes are distinct")
     e.add_argument("--control_std", type=float, default=0.06)
+    e.add_argument("--reverse", action="store_true",
+                   help="evaluate on the route-reversed scenario variant "
+                        "(--multi_worlds 'name:rev' populations)")
     e.add_argument("--results_file", default=None)
     e.add_argument("--action_mode", default="increment",
                    choices=["increment", "direct"])
