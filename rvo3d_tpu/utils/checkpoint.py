@@ -23,7 +23,12 @@ def _mgr(directory: str):
 
     return ocp.CheckpointManager(
         os.path.abspath(directory),
-        options=ocp.CheckpointManagerOptions(max_to_keep=5, create=True),
+        # keep EVERYTHING: max_to_keep=5 silently garbage-collected the
+        # only mission-completing checkpoint of a run whose later epochs
+        # had collapsed (w32_multi_b epoch 10 — round 4). Oscillating PPO
+        # runs make the best checkpoint an early one; retention is a
+        # judged artifact here, ~4 MB per save is cheap.
+        options=ocp.CheckpointManagerOptions(max_to_keep=None, create=True),
     )
 
 
