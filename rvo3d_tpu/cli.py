@@ -281,9 +281,17 @@ def cmd_train(args) -> int:
 
     results_path = os.path.join(run_dir, "results.txt")
 
+    # best-checkpoint tracking: deterministic-adjacent PPO fine-tuning can
+    # DECAY det success in later epochs while rollout returns improve
+    # (measured: w3 epoch-30 collapse, w8 oscillation, w4/w32 early-epoch
+    # peaks — RESULTS.md). Since every persisted checkpoint is kept, record
+    # which one scored best so eval/serving pick it without archaeology.
+    best = {"epoch": None, "success": -1.0}
+
     def eval_fn(epoch, state):
         # multi-scenario: one results.txt line per scenario population
         targets = lane_specs or [(None, trainer.world)]
+        min_success = 2.0
         for tok, sp in targets:
             m = evaluate(trainer.ac, state.params, sp, cfg.env,
                          jax.random.PRNGKey(epoch),
@@ -298,6 +306,15 @@ def cmd_train(args) -> int:
             print(line)
             with open(results_path, "a") as f:
                 f.write(line + "\n")
+            min_success = min(min_success, m["success_rate"])
+        # a multi-scenario checkpoint is only as good as its WORST population
+        if min_success > best["success"]:
+            best.update(epoch=epoch, success=min_success)
+        with open(os.path.join(run_dir, "best_checkpoint.json"), "w") as f:
+            json.dump({"epoch": best["epoch"],
+                       "min_success_rate": best["success"],
+                       "hint": f"cli eval --checkpoint {run_dir} "
+                               f"--ckpt_epoch {best['epoch']}"}, f, indent=1)
 
     trainer.train(epochs=args.train_epoch, log_fn=logger.log,
                   checkpoint_fn=save, eval_fn=eval_fn,
