@@ -65,22 +65,56 @@ def _mask_tree(params, predicate):
     return traverse_util.unflatten_dict({k: predicate(k) for k in flat})
 
 
+def _masked_only(inner, mask):
+    """optax.masked that ZEROES the non-masked updates instead of passing
+    raw gradients through (optax.masked's passthrough is harmless only
+    when the unmasked grads are structurally zero — true for the default
+    masks, where each loss has no dependence on the other head, but NOT
+    for vf_encoder=False/freeze_encoder, where the excluded encoder has
+    nonzero grads that would otherwise leak through at step size 1)."""
+    inv_mask = jax.tree_util.tree_map(lambda m: not m, mask)
+    return optax.chain(
+        optax.masked(inner, mask),
+        optax.masked(optax.set_to_zero(), inv_mask),
+    )
+
+
 def make_optimizers(cfg: TrainConfig, params):
     """pi optimizer over {encoder, actor, log_std}; vf over
-    {encoder, critic}; torch-default Adam hyperparams."""
-    pi_mask = _mask_tree(params, lambda k: "critic" not in k)
+    {encoder, critic}; torch-default Adam hyperparams.
+
+    cfg.vf_encoder=False drops the encoder from the vf mask (critic-head-
+    only value updates); cfg.freeze_encoder drops it from BOTH (see
+    TrainConfig — the round-5 fine-tune-collapse experiments)."""
+    def _is_enc(k):
+        return ("critic" not in k) and ("actor" not in k) and (
+            "log_std" not in k)
+
+    pi_mask = _mask_tree(
+        params, lambda k: ("critic" not in k)
+        and not (cfg.freeze_encoder and _is_enc(k)))
     vf_mask = _mask_tree(
         params, lambda k: ("actor" not in k) and ("log_std" not in k)
+        and not ((cfg.freeze_encoder or not cfg.vf_encoder) and _is_enc(k))
     )
-    pi_tx = optax.masked(
+    # Default masks: each loss is structurally independent of the excluded
+    # head (pi_loss has no critic term, v_loss no actor/log_std term), so
+    # plain optax.masked's grad passthrough adds exact zeros and the
+    # optimizer STATE STRUCTURE stays checkpoint-compatible with every
+    # earlier run. The encoder-excluding flags break that independence —
+    # only then wrap with the zeroing chain (those runs start fresh
+    # optimizers via --resume_params_only anyway).
+    wrap = (_masked_only if (cfg.freeze_encoder or not cfg.vf_encoder)
+            else optax.masked)
+    pi_tx = wrap(
         optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip_norm),
             optax.adam(cfg.pi_lr, b1=0.9, b2=0.999, eps=1e-8),
         ),
         pi_mask,
     )
-    vf_tx = optax.masked(optax.adam(cfg.vf_lr, b1=0.9, b2=0.999, eps=1e-8),
-                         vf_mask)
+    vf_tx = wrap(optax.adam(cfg.vf_lr, b1=0.9, b2=0.999, eps=1e-8),
+                 vf_mask)
     return pi_tx, vf_tx
 
 

@@ -162,7 +162,24 @@ class Trainer:
         """eval_fn(epoch, ppo_state) runs every eval_every epochs — the
         reference's mid-training evaluation (multi_ppo.py:283-292 runs it
         in a thread on a second env; here it's a jitted function sharing
-        the device, so it runs inline)."""
+        the device, so it runs inline).
+
+        If eval_fn accepts a `saved` keyword, it receives whether that
+        epoch's state was persisted to disk — best-checkpoint tracking must
+        only record restorable epochs (ADVICE r4: --eval_every cadence
+        epochs that are not save_freq-aligned have no checkpoint, so a
+        best_checkpoint.json hint pointing at one fails to restore)."""
+        import inspect
+
+        takes_saved = eval_fn is not None and (
+            "saved" in inspect.signature(eval_fn).parameters)
+
+        def run_eval(epoch, state, saved):
+            if takes_saved:
+                eval_fn(epoch, state, saved=saved)
+            else:
+                eval_fn(epoch, state)
+
         epochs = epochs if epochs is not None else self.cfg.train.train_epoch
         last_good = (-1, self.ppo_state, self.carry)
         for epoch in range(epochs + 1):
@@ -184,8 +201,10 @@ class Trainer:
                     "rescue_checkpoint_saved": checkpoint_fn is not None,
                 })
                 # score the rescued state so no halt is ever scoreless
+                # (the rescue checkpoint was just persisted under its index)
                 if eval_fn:
-                    eval_fn(max(good_epoch, 0), self.ppo_state)
+                    run_eval(max(good_epoch, 0), self.ppo_state,
+                             saved=checkpoint_fn is not None)
                 return
             last_good = (epoch, self.ppo_state, self.carry)
             log_fn(metrics)
@@ -205,4 +224,4 @@ class Trainer:
                 saved or (eval_every and (epoch % eval_every == 0
                                           or epoch == epochs))
             ):
-                eval_fn(epoch, self.ppo_state)
+                run_eval(epoch, self.ppo_state, saved=bool(saved))

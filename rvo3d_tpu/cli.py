@@ -37,6 +37,58 @@ def _fresh_run_dir(root: str, tag: str) -> str:
     return path
 
 
+def _policy_controller(ac, params, env_p, action_mode="increment",
+                       acceler_vel=1.0, std_factor=1e-3, seed=0):
+    """controller(state, world) -> absolute action for render/record paths,
+    applying the SAME action mapping as training/eval ('increment' =
+    acceler*a + vel, post_train.py:72-74; 'direct' = raw command)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rvo3d_tpu.env.env import observe
+    from rvo3d_tpu.models import ActorCritic
+
+    key_holder = [jax.random.PRNGKey(seed)]
+
+    def controller(state, world):
+        out, _ = observe(world, state, env_p)
+        key_holder[0], k = jax.random.split(key_holder[0])
+        ps = ac.apply(params, k, out.obs_self, out.obs_nbr, out.obs_mask,
+                      std_factor, method=ActorCritic.step)
+        a = jnp.round(ps.action, 2)
+        if action_mode == "direct":
+            return a
+        return acceler_vel * a + state.vel
+
+    return controller
+
+
+def _dump_training_gif(ac, params, wd, cfg, media_dir: str, epoch: int,
+                       steps: int = 60) -> str:
+    """Record one episode of the current policy and write
+    media_dir/epoch_{N}.gif (+ its frames under media_dir/epoch_{N}/)."""
+    import dataclasses
+
+    from rvo3d_tpu.env import DroneEnv
+    from rvo3d_tpu.render import ScenePlotter, frames_to_gif, record_trajectory
+
+    env_p = dataclasses.replace(cfg.env, noise=False)
+    env = DroneEnv(wd.spec(), env_p)
+    controller = _policy_controller(ac, params, env_p,
+                                    action_mode=cfg.train.action_mode)
+    traj = record_trajectory(env, controller, steps=steps)
+    frame_dir = os.path.join(media_dir, f"epoch_{epoch}")
+    os.makedirs(frame_dir, exist_ok=True)
+    plotter = ScenePlotter(wd.map_size, wd.building_list, wd.waypoints_list)
+    try:
+        frames = plotter.render_trajectory(traj, frame_dir, every=2)
+        gif = frames_to_gif(frames,
+                            os.path.join(media_dir, f"epoch_{epoch}.gif"))
+    finally:
+        plotter.close()
+    return gif
+
+
 def _build_cfg(args) -> "Config":
     from rvo3d_tpu.config import (Config, EnvParams, MeshConfig, ModelConfig,
                                   TrainConfig)
@@ -66,6 +118,8 @@ def _build_cfg(args) -> "Config":
         action_mode=args.action_mode, fresh_logp=args.fresh_logp,
         value_clip=args.value_clip, batched_update=args.batched_update,
         minibatch=args.minibatch,
+        vf_encoder=not getattr(args, "vf_no_encoder", False),
+        freeze_encoder=getattr(args, "freeze_encoder", False),
     )
     return Config(env=env, model=model, train=train,
                   mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
@@ -86,6 +140,31 @@ def cmd_train(args) -> int:
 
     maybe_distributed_init()
     cfg, wd = _build_cfg(args)
+    if args.bc_slowdown and args.bc_expert != "rvo":
+        raise SystemExit("--bc_slowdown only affects the 'rvo' expert "
+                         "(algo/bc.py collect_demos); pass --bc_expert rvo "
+                         "or drop the flag")
+    if args.bc_margin is not None and args.bc_expert != "rvo":
+        raise SystemExit("--bc_margin only affects the 'rvo' expert; pass "
+                         "--bc_expert rvo or drop the flag")
+    # Sequential-update TPU fault guard: the reference-faithful per-agent
+    # update program (fori over agents x KL while_loop) reproducibly dies
+    # with `UNAVAILABLE: TPU device error` at N>=8 on the axon backend
+    # (RESULTS.md "Platform fault"; minimized repro:
+    # scripts/tpu_seqfault_repro.py). The batched joint update trains the
+    # same worlds to 100 % — fall back to it with a warning instead of
+    # letting the user walk into the crash. --force_sequential overrides.
+    if (not cfg.train.batched_update and wd.drone_num >= 8
+            and jax.default_backend() != "cpu"
+            and not args.force_sequential):
+        import dataclasses as _dc_guard
+
+        print("WARNING: sequential per-agent PPO updates fault the axon "
+              f"TPU backend at N={wd.drone_num} (UNAVAILABLE device error; "
+              "scripts/tpu_seqfault_repro.py). Auto-switching to "
+              "--batched_update; pass --force_sequential to insist.")
+        cfg = cfg.replace(
+            train=_dc_guard.replace(cfg.train, batched_update=True))
     run_dir = args.run_dir or _fresh_run_dir(
         "runs", f"r{wd.drone_num}")
     os.makedirs(run_dir, exist_ok=True)
@@ -135,9 +214,13 @@ def cmd_train(args) -> int:
         if args.resume != "auto" or os.path.isdir(resume_dir):
             try:
                 trainer.ppo_state, start = restore_checkpoint(
-                    resume_dir, trainer.ppo_state)
+                    resume_dir, trainer.ppo_state,
+                    epoch=args.resume_epoch,
+                    params_only=args.resume_params_only)
                 resumed = True
-                print(f"resumed from {resume_dir} @ epoch {start}")
+                print(f"resumed from {resume_dir} @ epoch {start}"
+                      + (" (params only, fresh optimizers)"
+                         if args.resume_params_only else ""))
             except FileNotFoundError:
                 if args.resume != "auto":
                     raise
@@ -288,7 +371,7 @@ def cmd_train(args) -> int:
     # which one scored best so eval/serving pick it without archaeology.
     best = {"epoch": None, "success": -1.0}
 
-    def eval_fn(epoch, state):
+    def eval_fn(epoch, state, saved=True):
         # multi-scenario: one results.txt line per scenario population
         targets = lane_specs or [(None, trainer.world)]
         min_success = 2.0
@@ -307,8 +390,11 @@ def cmd_train(args) -> int:
             with open(results_path, "a") as f:
                 f.write(line + "\n")
             min_success = min(min_success, m["success_rate"])
-        # a multi-scenario checkpoint is only as good as its WORST population
-        if min_success > best["success"]:
+        # a multi-scenario checkpoint is only as good as its WORST
+        # population. Only PERSISTED epochs may become "best": an
+        # --eval_every cadence epoch without a checkpoint would leave a
+        # hint command that fails to restore (ADVICE r4).
+        if saved and min_success > best["success"]:
             best.update(epoch=epoch, success=min_success)
         with open(os.path.join(run_dir, "best_checkpoint.json"), "w") as f:
             json.dump({"epoch": best["epoch"],
@@ -316,7 +402,26 @@ def cmd_train(args) -> int:
                        "hint": f"cli eval --checkpoint {run_dir} "
                                f"--ckpt_epoch {best['epoch']}"}, f, indent=1)
 
-    trainer.train(epochs=args.train_epoch, log_fn=logger.log,
+    def log_fn(m):
+        logger.log(m)
+        # --render_every K: the reference renders inside the training loop
+        # every render_freq epochs (multi_ppo.py:213-214, env_base.py:155-
+        # 162); here the renderer stays out of the env — every K epochs a
+        # trajectory of the CURRENT policy is recorded and rendered to a
+        # GIF in the run dir (host-side, rendering failures never kill the
+        # run).
+        ep = m.get("epoch")
+        if (args.render_every and ep is not None and "halted" not in m
+                and ep % args.render_every == 0):
+            try:
+                gif = _dump_training_gif(
+                    trainer.ac, trainer.ppo_state.params, wd, cfg,
+                    os.path.join(run_dir, "media"), ep)
+                print(f"render_every: epoch {ep} -> {gif}")
+            except Exception as exc:  # noqa: BLE001 - rendering is best-effort
+                print(f"render_every: epoch {ep} render failed: {exc!r}")
+
+    trainer.train(epochs=args.train_epoch, log_fn=log_fn,
                   checkpoint_fn=save, eval_fn=eval_fn,
                   eval_every=args.eval_every)
     write_reward_csv(os.path.join(run_dir, "reward_curves.csv"),
@@ -433,12 +538,10 @@ def cmd_render(args) -> int:
     env = DroneEnv(wd.spec(), EnvParams(num_drones=wd.drone_num))
 
     if args.torch_checkpoint or args.checkpoint:
-        import jax
-        import jax.numpy as jnp
-
         from rvo3d_tpu.config import ModelConfig
         from rvo3d_tpu.models import ActorCritic
 
+        action_mode = "increment"
         if args.torch_checkpoint:
             from rvo3d_tpu.utils.torch_import import load_reference_policy
 
@@ -453,18 +556,13 @@ def cmd_render(args) -> int:
             state, _ = restore_checkpoint(
                 os.path.join(args.checkpoint, "ckpt"), trainer.ppo_state)
             params, ac = state.params, trainer.ac
+            # a 'direct'-mode checkpoint rendered through the increment
+            # mapping flies garbage — match the training mapping
+            action_mode = cfg.train.action_mode
 
-        key_holder = [jax.random.PRNGKey(0)]
-
-        def controller(state, world):
-            from rvo3d_tpu.env.env import observe
-
-            out, _ = observe(world, state, env.params)
-            key_holder[0], k = jax.random.split(key_holder[0])
-            ps = ac.apply(params, k, out.obs_self, out.obs_nbr, out.obs_mask,
-                          1e-3, method=ActorCritic.step)
-            a = jnp.round(ps.action, 2)
-            return args.acceler_vel * a + state.vel
+        controller = _policy_controller(ac, params, env.params,
+                                        action_mode=action_mode,
+                                        acceler_vel=args.acceler_vel)
     else:
         controller = waypoint_controller
 
@@ -505,6 +603,14 @@ def main(argv=None) -> int:
     t.add_argument("--world", default="world_3")
     t.add_argument("--run_dir", default=None)
     t.add_argument("--resume", default=None, help="checkpoint dir to resume")
+    t.add_argument("--resume_epoch", type=int, default=None,
+                   help="checkpoint epoch to resume from (default: latest) "
+                        "— e.g. 0 resumes a run's BC-clone initialization")
+    t.add_argument("--resume_params_only", action="store_true",
+                   help="restore only the params and start FRESH optimizers "
+                        "(required when the optimizer masks change, e.g. "
+                        "--vf_no_encoder / --freeze_encoder fine-tunes of a "
+                        "shared-encoder checkpoint)")
     t.add_argument("--num_envs", type=int, default=16)
     t.add_argument("--train_epoch", type=int, default=600)
     t.add_argument("--steps_per_epoch", type=int, default=300)
@@ -563,6 +669,24 @@ def main(argv=None) -> int:
                         "pi_iters==0 dropped-update pathology; off = reference)")
     t.add_argument("--value_clip", type=float, default=0.0,
                    help="PPO2-style value clipping range (0 = reference MSE)")
+    t.add_argument("--vf_no_encoder", action="store_true",
+                   help="exclude the shared encoder from the vf optimizer "
+                        "(critic-head-only value updates; the reference "
+                        "trains the encoder at vf_lr through the value loss "
+                        "too, policy_rnn_ac.py:46-54 — the round-5 fine-tune "
+                        "collapse root cause)")
+    t.add_argument("--freeze_encoder", action="store_true",
+                   help="exclude the encoder from BOTH optimizers "
+                        "(fine-tune heads only on a frozen clone encoder)")
+    t.add_argument("--force_sequential", action="store_true",
+                   help="run the sequential per-agent update schedule on "
+                        "TPU even at N>=8 (known axon backend fault — "
+                        "scripts/tpu_seqfault_repro.py)")
+    t.add_argument("--render_every", type=int, default=0,
+                   help="every K epochs, record one episode of the current "
+                        "policy and drop media/epoch_K.gif in the run dir "
+                        "(the reference's in-training render_freq, "
+                        "multi_ppo.py:213-214; 0 = off)")
     t.add_argument("--train_noise", action="store_true",
                    help="inject per-step control noise during training "
                         "rollouts (EnvParams.noise, drone.py:79-82) — "

@@ -84,6 +84,19 @@ class EnvParams:
         return self.self_state_dim + self.rvo_state_dim * self.neighbor_num
 
 
+def kinematic_variant_params(**overrides) -> "EnvParams":
+    """The standalone `kinematic.py` model variant: identical speed/yaw/
+    pitch kinematics but max_acc = 10 (vs drone.py:72's 1.0).
+
+    Reference: uaisa_env/drone_envs/kinematic.py:12 — a dead duplicate
+    upstream (its import is commented out, drone.py:11), kept here as a
+    one-line preset so the variant is selectable. Parity test:
+    tests/test_geometry.py::test_kinematic_variant_max_acc10."""
+    kw = dict(max_acc=10.0)
+    kw.update(overrides)
+    return EnvParams(**kw)
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Policy network shape. Defaults mirror train_process.py:36-46."""
@@ -142,8 +155,22 @@ class TrainConfig:
     # dynamic-slice of the flattened batch — gather-free by construction
     # (the axon TPU backend miscompiles small-gather lowerings, see
     # env/state.py:_wp_select), and contiguous [k*E] windows still span
-    # every env lane. KL early-stop is then measured per-minibatch.
+    # every env lane. KL early-stop is then measured per-minibatch, so the
+    # logged kl/pi_loss are per-window ESTIMATES (noisier than, and not
+    # directly comparable to, full-batch runs' metrics) and the early-stop
+    # decision itself is sampled (ADVICE r4).
     minibatch: int = 0
+    # The reference's vf Adam optimizes {encoder, critic} — the shared
+    # encoder sits in BOTH optimizers (policy_rnn_ac.py:46-54 module
+    # sharing + multi_ppo.py:115-116), so even a pi_lr=0 run drifts the
+    # deterministic policy through the value loss at vf_lr. Round-5
+    # root-cause experiments on the fine-tune collapse (RESULTS.md):
+    # False = vf Adam touches ONLY the critic head; the encoder trains
+    # solely at pi_lr through the policy loss. True = reference-faithful.
+    vf_encoder: bool = True
+    # Exclude the encoder from BOTH optimizers (fine-tune only the
+    # actor/critic heads + log_std on top of a frozen BC-clone encoder).
+    freeze_encoder: bool = False
     # 'increment': the reference trainer's velocity-anchored mapping
     #   abs = acceler*a + vel (multi_ppo.py:202-205) — NOTE this adds the
     #   velocity VECTOR to a [acc, Δyaw, Δpitch] command, which strips the

@@ -229,7 +229,8 @@ def vo_observe(states: jnp.ndarray, actions: jnp.ndarray,
     # a finite value (geometry.input_exp_time) and all other obs9 channels
     # are positions/velocities/angles. If a future channel carries an
     # inf/nan sentinel, it must be masked BEFORE this selection
-    # (tests/test_rvo.py::test_one_hot_selection_finiteness guards this).
+    # (tests/test_geometry.py::test_one_hot_selection_finiteness guards
+    # this).
     sel = jax.nn.one_hot(tail, m, dtype=pw.obs9.dtype)              # [N, k, M]
     obs_k = jnp.sum(sel[..., None] * pw.obs9[:, None, :, :], axis=2)
     mask_k = jnp.sum(sel * flagged[:, None, :].astype(pw.obs9.dtype),

@@ -49,14 +49,36 @@ def save_checkpoint(directory: str, epoch: int, ppo_state, cfg: Config) -> None:
 
 
 def restore_checkpoint(directory: str, ppo_state,
-                       epoch: Optional[int] = None) -> Tuple[Any, int]:
+                       epoch: Optional[int] = None,
+                       params_only: bool = False) -> Tuple[Any, int]:
     """Restore into the structure of an existing (template) PPOState.
-    Returns (restored_state, epoch)."""
+    Returns (restored_state, epoch).
+
+    params_only=True restores ONLY the model params and keeps the
+    template's (fresh) optimizer states — required when the optimizer
+    masks differ from the checkpoint's (e.g. a --vf_no_encoder or
+    --freeze_encoder fine-tune of a shared-encoder run: optax.masked
+    state trees are mask-shaped, so a full restore would structure-
+    mismatch)."""
     import orbax.checkpoint as ocp
 
     mgr = _mgr(directory)
     if epoch is None:
         epoch = mgr.latest_step()
+    if params_only:
+        item = {"params": ppo_state.params}
+        restored = mgr.restore(
+            epoch,
+            args=ocp.args.PyTreeRestore(
+                item,
+                # template-derived shardings: a TPU-saved checkpoint must
+                # restore onto THIS process's devices (CPU or TPU), not
+                # the recorded ones
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    item),
+                partial_restore=True),
+        )
+        return ppo_state._replace(params=restored["params"]), int(epoch)
     template = {
         "params": ppo_state.params,
         "pi_opt": ppo_state.pi_opt,

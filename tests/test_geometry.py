@@ -106,6 +106,52 @@ def test_kinematic_yaw_wraps_and_pitch_clamps():
     assert float(pitch[0]) == pytest.approx(90.0)
 
 
+def test_kinematic_variant_max_acc10():
+    """The standalone kinematic.py model variant (reference:
+    uaisa_env/drone_envs/kinematic.py:3-74 — dead upstream, max_acc=10
+    vs drone.py:72's 1.0) is one EnvParams preset here. Parity: an
+    independent NumPy transliteration of kinematic.step's equations at
+    max_acc=10 must match geo.kinematic_step under the preset, over random
+    states/actions and across persisted yaw/pitch trajectories."""
+    from rvo3d_tpu.config import kinematic_variant_params
+
+    p = kinematic_variant_params()
+    assert p.max_acc == 10.0 and p.max_angle_change == 90.0
+
+    def np_variant_step(speed, yaw, pitch, action):
+        # kinematic.py:19-31 (_action_to_control), :33-36 (_update_velocity
+        # with dt=1 and speed floor 0), :38-44 (_update_angles), :46-54
+        # (_get_velocity_components)
+        acc_d = np.clip(action[0] * 10.0, -10.0, 10.0)
+        yaw_d = np.clip(action[1] * 90.0, -90.0, 90.0)
+        pitch_d = np.clip(action[2] * 90.0, -90.0, 90.0)
+        new_speed = max(speed + acc_d * 1, 0)
+        new_yaw = (yaw + yaw_d) % 360
+        new_pitch = np.clip(pitch + pitch_d, -90, 90)
+        yr, pr = np.deg2rad(new_yaw), np.deg2rad(new_pitch)
+        v = np.array([new_speed * np.cos(pr) * np.cos(yr),
+                      new_speed * np.cos(pr) * np.sin(yr),
+                      new_speed * np.sin(pr)])
+        return v, new_yaw, new_pitch, new_speed
+
+    rng = np.random.default_rng(5)
+    yaw, pitch = 10.0, -20.0
+    vel = np.array([0.3, -0.2, 0.1])
+    for _ in range(12):
+        act = rng.uniform(-1, 1, 3)
+        exp_vel, exp_yaw, exp_pitch, exp_speed = np_variant_step(
+            float(np.linalg.norm(vel)), yaw, pitch, act)
+        got_vel, got_yaw, got_pitch, got_speed = geo.kinematic_step(
+            jnp.asarray(vel), jnp.asarray(yaw), jnp.asarray(pitch),
+            jnp.asarray(act), p.max_acc, p.max_angle_change)
+        # float32 device math vs float64 NumPy: 1e-4-level agreement
+        np.testing.assert_allclose(np.asarray(got_vel), exp_vel, atol=1e-4)
+        assert float(got_yaw) == pytest.approx(exp_yaw, abs=1e-4)
+        assert float(got_pitch) == pytest.approx(exp_pitch, abs=1e-4)
+        assert float(got_speed) == pytest.approx(exp_speed, abs=1e-4)
+        vel, yaw, pitch = exp_vel, exp_yaw, exp_pitch
+
+
 def test_angle_between_eps_zero_vector_rules():
     z = jnp.zeros(3)
     a = jnp.array([1.0, 0.0, 0.0])

@@ -108,8 +108,16 @@ def test_reverse_routes_preserves_padding_invariant():
         w[1], [[5, 8, 1], [5, 7, 1], [5, 6, 1], [5, 5, 1]])
     np.testing.assert_array_equal(np.asarray(rev.n_points),
                                   np.asarray(spec.n_points))
-    np.testing.assert_allclose(np.asarray(rev.route_len),
-                               np.asarray(spec.route_len))
+    # route_len must genuinely be reversal-invariant: RECOMPUTE the
+    # polyline length over the reversed valid waypoints and compare to the
+    # spec's stored value (rev.route_len is the same array as spec's by
+    # construction, so comparing those two would be tautological —
+    # ADVICE r4)
+    for i, k in enumerate(np.asarray(rev.n_points)):
+        seg = np.diff(w[i, :k], axis=0)
+        np.testing.assert_allclose(
+            np.sqrt((seg ** 2).sum(-1)).sum(),
+            np.asarray(spec.route_len)[i], rtol=1e-6)
     # double reversal is identity
     np.testing.assert_array_equal(
         np.asarray(reverse_routes(rev).waypoints),
