@@ -36,7 +36,8 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
                   expert: str = "waypoint", action_mode: str = "increment",
                   explore_std: float = 0.0,
                   expert_margin: float | None = None,
-                  behavior_fn=None, expert_slowdown: bool = False):
+                  behavior_fn=None, expert_slowdown: bool = False,
+                  env_noise: bool = False):
     """Roll an analytic expert ('waypoint' = pure tracking, 'rvo' = the
     classic cone-dodging controller); returns (obs_self, obs_nbr, obs_mask,
     target) with leading axis [steps*num_envs*N]. In 'direct' mode the
@@ -60,16 +61,24 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
     behavior_fn(obs_self, obs_nbr, obs_mask) -> action mean, if given,
     DRIVES the rollout (true DAgger: visit the clone's own states) while
     the expert still provides the labels."""
-    if p.noise:
-        # demo collection uses DART explore_std for state-distribution
-        # widening, not env control noise (whose step path needs a key);
-        # a --train_noise run still clones on the clean dynamics
-        import dataclasses
+    # default: demo collection uses DART explore_std for state-
+    # distribution widening, not env control noise; a --train_noise run
+    # still clones on the clean dynamics.
+    # env_noise=True instead turns the control-noise channel ON during
+    # demos (--bc_env_noise, regardless of --train_noise): every step
+    # perturbs the executed motion exactly as the noisy eval does
+    # (drone.py:79-82,163-165) while the expert relabels each noise-
+    # displaced state — DAgger widening over the TRUE eval noise
+    # distribution (round-5, the DART-std-matching item of VERDICT r4 #2).
+    import dataclasses
 
-        p = dataclasses.replace(p, noise=False)
+    p = dataclasses.replace(p, noise=bool(env_noise))
+    use_env_noise = bool(env_noise)
 
     observe_b = jax.vmap(functools.partial(observe, world, p=p))
     step_b = jax.vmap(functools.partial(step, world, p=p))
+    step_noise_b = jax.vmap(lambda st, a, k: step(world, st, a, p,
+                                                  noise_key=k))
     reset_b = jax.vmap(functools.partial(reset_where, world))
 
     if expert == "rvo":
@@ -117,7 +126,12 @@ def collect_demos(world: WorldSpec, p: EnvParams, num_envs: int, steps: int,
             # only reach cmd within ±acceler of the velocity vector) so
             # demos are closed-loop consistent with the policy's reach
             abs_eff = p.acceler * executed + state.vel
-        state, o = step_b(state, abs_eff)
+        if use_env_noise:
+            nkeys = jax.random.split(jax.random.fold_in(k, 1),
+                                     state.pos.shape[0])
+            state, o = step_noise_b(state, abs_eff, nkeys)
+        else:
+            state, o = step_b(state, abs_eff)
         need = o.done | o.finish
         state = reset_b(state, need)
         re_out, state = observe_b(state)
@@ -149,7 +163,7 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
                 action_mode: str = "increment", explore_std: float = 0.0,
                 expert_margin: float | None = None,
                 dagger_rounds: int = 0, conflict_weight: float = 1.0,
-                expert_slowdown: bool = False,
+                expert_slowdown: bool = False, env_noise: bool = False,
                 on_round=None) -> Tuple[dict, float]:
     """Behavior cloning with optional DAgger iterations.
 
@@ -229,7 +243,8 @@ def bc_pretrain(ac: ActorCritic, params, world: WorldSpec, p: EnvParams,
                                 cruise_speed, expert, action_mode,
                                 explore_std, expert_margin,
                                 behavior_fn=behavior_fn,
-                                expert_slowdown=expert_slowdown)
+                                expert_slowdown=expert_slowdown,
+                                env_noise=env_noise)
             if data is None:
                 data = tuple(jnp.zeros((cap,) + x.shape[1:], x.dtype)
                              for x in new)

@@ -244,6 +244,7 @@ def cmd_train(args) -> int:
             dagger_rounds=args.bc_dagger, demo_steps=args.bc_demo_steps,
             conflict_weight=args.bc_conflict_weight,
             expert_slowdown=args.bc_slowdown,
+            env_noise=args.bc_env_noise,
         )
         trainer.ppo_state = trainer.ppo_state._replace(params=params)
         scen = (", ".join(tok for tok, _ in lane_specs)
@@ -653,6 +654,12 @@ def main(argv=None) -> int:
     t.add_argument("--bc_margin", type=float, default=None,
                    help="RVO expert safety-margin inflation for demos")
     t.add_argument("--bc_demo_steps", type=int, default=200)
+    t.add_argument("--bc_env_noise", action="store_true",
+                   help="inject the eval's control noise (std = "
+                        "--train_control_std) during BC demo collection: "
+                        "the expert relabels every noise-displaced state, "
+                        "so the clone trains on the noise distribution the "
+                        "--noise eval scores it under")
     t.add_argument("--bc_slowdown", action="store_true",
                    help="RVO expert aims to LAND on the active waypoint "
                         "when one step away (fixes the orbit limit cycle "

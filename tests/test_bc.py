@@ -88,3 +88,26 @@ def test_bc_pretrain_multi_world_mixed_set():
         for a, b in zip(jax.tree_util.tree_leaves(tr.ppo_state.params),
                         jax.tree_util.tree_leaves(params)))
     assert moved
+
+
+def test_collect_demos_env_noise_widens_states(world):
+    """env_noise=True (cli --bc_env_noise) steps demos under the eval's
+    control-noise channel: trajectories diverge from the clean rollout
+    (distinct visited states per lane), labels stay finite, and
+    env_noise=False is unchanged by the flag's existence."""
+    p = EnvParams(num_drones=2, control_std=0.06)
+    key = jax.random.PRNGKey(3)
+    clean = collect_demos(world, p, num_envs=3, steps=8, key=key,
+                          expert="rvo", action_mode="direct")
+    noisy = collect_demos(world, p, num_envs=3, steps=8, key=key,
+                          expert="rvo", action_mode="direct", env_noise=True)
+    for c, n in zip(clean, noisy):
+        assert np.all(np.isfinite(np.asarray(c, np.float64)))
+        assert np.all(np.isfinite(np.asarray(n, np.float64)))
+    # the clean rollout's lanes are identical (broadcast reset, no DART),
+    # the noisy rollout's lanes must differ from each other AND from clean
+    obs_c = np.asarray(clean[0]).reshape(8, 3, 2, -1)
+    obs_n = np.asarray(noisy[0]).reshape(8, 3, 2, -1)
+    assert np.allclose(obs_c[:, 0], obs_c[:, 1])
+    assert not np.allclose(obs_n[:, 0], obs_n[:, 1])
+    assert not np.allclose(obs_c, obs_n)
