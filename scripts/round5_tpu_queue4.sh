@@ -6,6 +6,12 @@
 set -x
 cd /root/repo
 
+# det eval of the w4 noise-fine-tune product (its in-training evals ran
+# in noisy mode; the det number completes the row)
+timeout 1200 python -m rvo3d_tpu.cli eval --world world_4 \
+  --checkpoint runs/w4_nft --ckpt_epoch 5 --episodes 100 \
+  --results_file runs/w4_nft/results.txt > runs/q4_w4_det.log 2>&1
+
 timeout 4500 python -u -m rvo3d_tpu.cli train --world world_2 \
   --num_envs 8192 --steps_per_epoch 300 --action_mode direct \
   --log_std_init -2.3 --target_kl 0.01 --pi_lr 1e-6 --vf_lr 5e-5 \
