@@ -554,8 +554,10 @@ def cmd_render(args) -> int:
 
             cfg = load_config(args.checkpoint)
             trainer = Trainer(cfg, wd.spec())
-            state, _ = restore_checkpoint(
-                os.path.join(args.checkpoint, "ckpt"), trainer.ppo_state)
+            state, ep = restore_checkpoint(
+                os.path.join(args.checkpoint, "ckpt"), trainer.ppo_state,
+                epoch=args.ckpt_epoch)
+            print(f"rendering checkpoint epoch {ep}")
             params, ac = state.params, trainer.ac
             # a 'direct'-mode checkpoint rendered through the increment
             # mapping flies garbage — match the training mapping
@@ -779,6 +781,9 @@ def main(argv=None) -> int:
     r.add_argument("--world", default="world_3")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--torch_checkpoint", default=None)
+    r.add_argument("--ckpt_epoch", type=int, default=None,
+                   help="checkpoint epoch to render (default: latest) — "
+                        "pair with best_checkpoint.json's epoch")
     r.add_argument("--acceler_vel", type=float, default=1.0)
     r.add_argument("--steps", type=int, default=100)
     r.add_argument("--every", type=int, default=2)
